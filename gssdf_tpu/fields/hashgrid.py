@@ -1,0 +1,132 @@
+"""Multi-resolution hash-grid encoding (InstantNGP-style), pure JAX.
+
+Reference analog: the tcnn_binding submodule used by EncodingMap
+(encoding_map.cpp:15-29): Grid/Hash, n_levels=16, n_features_per_level=2,
+log2_hashmap_size=19, base_resolution=32, per_level_scale=2.0, linear interp.
+
+TPU-first design: one fused gather over a single [total_slots, F] table for
+all levels and all 8 trilinear corners; the backward pass (scatter-add into
+the table) falls out of JAX autodiff as an XLA scatter which TPU executes
+natively. Levels whose dense grid fits the hashmap budget use collision-free
+dense indexing (same policy as tcnn).
+
+Technique source: Müller et al., "Instant Neural Graphics Primitives with a
+Multiresolution Hash Encoding" (arXiv:2201.05989).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Spatial-hash primes from the InstantNGP paper.
+_PRIMES = (1, 2654435761, 805459861)
+
+
+@dataclass(frozen=True)
+class HashGridSpec:
+    n_levels: int = 16
+    n_features_per_level: int = 2
+    log2_hashmap_size: int = 19
+    base_resolution: int = 32
+    per_level_scale: float = 2.0
+
+    @property
+    def table_size(self) -> int:
+        return 1 << self.log2_hashmap_size
+
+    @property
+    def out_dim(self) -> int:
+        return self.n_levels * self.n_features_per_level
+
+    def level_resolutions(self) -> np.ndarray:
+        ls = np.arange(self.n_levels)
+        return np.floor(
+            self.base_resolution * self.per_level_scale ** ls
+        ).astype(np.int64)
+
+    def level_meta(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Per level: (resolution, slots used, dense? flag).
+
+        A level is dense (collision-free) when (res+1)^3 fits the hashmap.
+        """
+        res = self.level_resolutions()
+        dense = (res + 1) ** 3 <= self.table_size
+        slots = np.where(dense, (res + 1) ** 3, self.table_size)
+        return res, slots, dense
+
+    @property
+    def total_slots(self) -> int:
+        return int(self.level_meta()[1].sum())
+
+
+def init_hashgrid(key: jax.Array, spec: HashGridSpec) -> jnp.ndarray:
+    """Table [total_slots, F], uniform in [-1e-4, 1e-4] (tcnn default)."""
+    return jax.random.uniform(
+        key,
+        (spec.total_slots, spec.n_features_per_level),
+        minval=-1e-4,
+        maxval=1e-4,
+        dtype=jnp.float32,
+    )
+
+
+def _corner_indices(ijk: jnp.ndarray, res: int, dense: bool, table_size: int):
+    """ijk: [..., 3] int32 corner coords at a level -> flat slot index."""
+    if dense:
+        side = res + 1
+        return (ijk[..., 0] * side + ijk[..., 1]) * side + ijk[..., 2]
+    h = ijk[..., 0].astype(jnp.uint32) * jnp.uint32(_PRIMES[0])
+    h = h ^ (ijk[..., 1].astype(jnp.uint32) * jnp.uint32(_PRIMES[1]))
+    h = h ^ (ijk[..., 2].astype(jnp.uint32) * jnp.uint32(_PRIMES[2]))
+    return (h & jnp.uint32(table_size - 1)).astype(jnp.int32)
+
+
+# The 8 trilinear corner offsets [8, 3].
+_CORNERS = np.stack(
+    np.meshgrid([0, 1], [0, 1], [0, 1], indexing="ij"), -1
+).reshape(8, 3)
+
+
+def hashgrid_encode(
+    table: jnp.ndarray, x01: jnp.ndarray, spec: HashGridSpec
+) -> jnp.ndarray:
+    """Encode points [N, 3] in [0, 1] -> features [N, L*F].
+
+    One global gather: per-level corner slot indices are offset into the
+    concatenated table, flattened to [N, L*8], gathered once, then reduced by
+    trilinear weights.
+    """
+    res, slots, dense = spec.level_meta()
+    offsets = np.concatenate([[0], np.cumsum(slots)[:-1]])
+    corners = jnp.asarray(_CORNERS, dtype=jnp.int32)  # [8, 3]
+
+    x01 = jnp.clip(x01, 0.0, 1.0)
+    idx_all = []
+    w_all = []
+    for l in range(spec.n_levels):
+        r = int(res[l])
+        pos = x01 * r  # [N, 3] in [0, r]
+        p0 = jnp.floor(pos)
+        frac = pos - p0  # [N, 3]
+        p0 = jnp.clip(p0.astype(jnp.int32), 0, r)  # grid has r+1 points/dim
+        ijk = jnp.minimum(p0[:, None, :] + corners[None], r)  # [N, 8, 3]
+        flat = _corner_indices(
+            ijk, r, bool(dense[l]), spec.table_size
+        ) + int(offsets[l])
+        # trilinear weights [N, 8]
+        cw = jnp.where(corners[None] == 1, frac[:, None, :], 1.0 - frac[:, None, :])
+        w = cw[..., 0] * cw[..., 1] * cw[..., 2]
+        idx_all.append(flat)
+        w_all.append(w)
+
+    idx = jnp.stack(idx_all, axis=1)  # [N, L, 8]
+    w = jnp.stack(w_all, axis=1)  # [N, L, 8]
+    feats = table[idx.reshape(x01.shape[0], -1)]  # [N, L*8, F]
+    feats = feats.reshape(x01.shape[0], spec.n_levels, 8, spec.n_features_per_level)
+    out = jnp.sum(feats * w[..., None], axis=2)  # [N, L, F]
+    return out.reshape(x01.shape[0], spec.out_dim)
