@@ -79,10 +79,15 @@ def project_2dgs(
     sign = jnp.where(jnp.sum(n_c * p_c, -1, keepdims=True) > 0, -1.0, 1.0)
     normals = n_c * sign
 
-    # conservative screen radius: project 8 points on the 3-sigma rim
+    # conservative screen radius: project 8 points on the alpha-cutoff rim.
+    # alpha = opa * exp(-rho/2) >= 1/255 holds out to sqrt(2 ln 255) ~ 3.33
+    # sigma; the 8-point convex hull underestimates the projected ellipse by
+    # up to cos(pi/8), so scale the max distance back up.
+    cutoff = 3.33
+    hull_fix = jnp.float32(1.0 / jnp.cos(jnp.pi / 8))
     angles = jnp.linspace(0.0, 2 * jnp.pi, 8, endpoint=False)
-    rim_uv = 3.0 * jnp.stack(
-        [jnp.cos(angles), jnp.sin(angles), jnp.ones_like(angles) / 3.0], -1
+    rim_uv = cutoff * jnp.stack(
+        [jnp.cos(angles), jnp.sin(angles), jnp.ones_like(angles) / cutoff], -1
     )  # [8, 3] (w=1)
     rim_h = jnp.einsum("nij,kj->nki", M, rim_uv)          # [N, 8, 3]
     rim_w = rim_h[..., 2]
@@ -90,7 +95,7 @@ def project_2dgs(
     rim_xy = rim_h[..., :2] / safe_w[..., None]
     behind = jnp.any(rim_w <= 1e-6, axis=-1)              # rim crosses camera
     d = jnp.linalg.norm(rim_xy - means2d[:, None, :], axis=-1)
-    radii = jnp.where(behind, jnp.float32(1e6), jnp.max(d, axis=-1))
+    radii = jnp.where(behind, jnp.float32(1e6), hull_fix * jnp.max(d, axis=-1))
     radii = jax.lax.stop_gradient(radii)
 
     inside = (

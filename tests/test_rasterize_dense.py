@@ -48,8 +48,11 @@ def test_projection_center_and_radius():
     means, quats, scales, opac, colors = _single_splat(z=1.0, s=0.05)
     proj = project_2dgs(means, quats, scales, EYE4, K, W, H, 0.01, 100.0)
     np.testing.assert_allclose(np.asarray(proj.means2d[0]), [CX, CY], atol=1e-4)
-    # frontal disk: screen sigma = f*s/z = 5 px; 3-sigma rim -> radius 15
-    np.testing.assert_allclose(float(proj.radii[0]), 15.0, rtol=1e-3)
+    # frontal disk: screen sigma = f*s/z = 5 px; cutoff rim 3.33 sigma with
+    # the 1/cos(pi/8) hull correction -> radius 16.65/cos(pi/8)
+    np.testing.assert_allclose(
+        float(proj.radii[0]), 16.65 / np.cos(np.pi / 8), rtol=1e-3
+    )
     assert bool(proj.valid[0])
     np.testing.assert_allclose(float(proj.depths[0]), 1.0, atol=1e-6)
     # normal faces the viewer (camera looks +z, so normal ~ -z)
