@@ -8,6 +8,7 @@ Coefficients are the standard real-SH constants (Sloan, "Stupid SH Tricks").
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 _C0 = 0.28209479177387814
@@ -72,5 +73,5 @@ def view_colors(
 ) -> jnp.ndarray:
     """Per-splat view-dependent colors from SH coeffs [N, K, 3]."""
     d = means - cam_pos
-    d = d / jnp.clip(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+    d = d * jax.lax.rsqrt(jnp.sum(d * d, -1, keepdims=True) + 1e-24)
     return eval_sh(degree, coeffs, d)

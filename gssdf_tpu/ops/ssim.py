@@ -16,12 +16,13 @@ import numpy as np
 
 
 @functools.lru_cache(maxsize=8)
-def _gaussian_window(window_size: int, sigma: float):
+def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
+    """Cached as numpy — caching a jnp array would leak a tracer constant
+    across jit traces."""
     xs = np.arange(window_size, dtype=np.float64) - window_size // 2
     g = np.exp(-(xs ** 2) / (2.0 * sigma ** 2))
     g /= g.sum()
-    w2d = np.outer(g, g).astype(np.float32)
-    return jnp.asarray(w2d)
+    return np.outer(g, g).astype(np.float32)
 
 
 def _depthwise_conv(img, window):
@@ -49,7 +50,7 @@ def ssim(img1, img2, window_size: int = 11, sigma: float = 1.5):
     if img1.ndim == 3 and img1.shape[-1] in (1, 3, 4):
         img1 = jnp.moveaxis(img1, -1, 0)
         img2 = jnp.moveaxis(img2, -1, 0)
-    window = _gaussian_window(window_size, sigma).astype(img1.dtype)
+    window = jnp.asarray(_gaussian_window(window_size, sigma), img1.dtype)
 
     mu1 = _depthwise_conv(img1, window)
     mu2 = _depthwise_conv(img2, window)

@@ -1,0 +1,236 @@
+"""Sharded training steps: rays and cameras data-parallel over the mesh.
+
+Reference analog: none — the reference is single-GPU (SURVEY.md §2.3). This
+is the TPU-native scaling layer: per BASELINE.md's north star, ray batches
+(SDF phase) and camera batches (GS phase) shard over a 1-D ``data`` mesh;
+hash-grid + splat parameters are replicated and the XLA SPMD partitioner
+inserts the gradient all-reduce (psum) over ICI.
+
+Implementation style: plain ``jax.jit`` with ``in_shardings`` — shardings
+constrain the inputs, autodiff produces the replicated-grad sum, and XLA
+lays out the collectives. No hand-written communication.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..fields.occupancy import OccupancyGrid, valid_mask
+from ..fields.sampling import RayBatch, sample_points
+from ..fields.sdf_field import MapGeometry, sdf_apply
+from ..gs.model import SplatModel
+from ..gs.render import render_splats
+from ..sensors.cameras import Camera
+from .. import losses
+from ..train.gs import GSState, GSTrainSpec, gs_image_losses, gs_lr_tree
+from ..train.optim import adam_update
+from ..train.sdf import SDFTrainSpec, sdf_losses, sdf_regularization
+from ..gs.model import update_densify_state
+
+
+def make_sharded_sdf_train_step(
+    spec: SDFTrainSpec, geom: MapGeometry, grid: OccupancyGrid, mesh: Mesh
+):
+    """SDF step with the ray batch sharded over the ``data`` axis
+    (params/opt replicated; grad psum inserted by SPMD)."""
+    rep = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P("data"))
+
+    def step_impl(params, opt_state, ray_origin, ray_dir, ray_depth, key,
+                  sample_std, lr):
+        kidx, ksamp = jax.random.split(key)
+        rays = RayBatch(
+            origin=ray_origin,
+            direction=ray_dir,
+            depth=ray_depth,
+            xyz=ray_origin + ray_dir * ray_depth,
+        )
+        samples = sample_points(
+            rays, grid, geom, ksamp,
+            surface_sample_num=spec.surface_sample_num,
+            free_sample_num=spec.free_sample_num,
+            max_hits=spec.max_hits,
+            max_steps=spec.max_steps,
+            sample_std=sample_std,
+            truncated_dis=spec.truncated_dis,
+            inner_half_extent=spec.inner_half_extent,
+        )
+
+        def loss_fn(p):
+            return sdf_losses(p, samples, geom, spec, sample_std)
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        params2, opt2 = adam_update(grads, opt_state, params, lr)
+        aux["loss"] = loss
+        return params2, opt2, aux
+
+    return jax.jit(
+        step_impl,
+        in_shardings=(rep, rep, shard, shard, shard, rep, rep, rep),
+        out_shardings=(rep, rep, rep),
+    )
+
+
+def make_multicam_gs_train_step(
+    spec: GSTrainSpec,
+    geom: MapGeometry,
+    grid: OccupancyGrid,
+    cam: Camera,
+    mesh: Optional[Mesh] = None,
+):
+    """Joint GS step over a batch of B cameras; B shards over the mesh.
+
+    The reference renders one image per iteration (gs_train_batch_iter);
+    rendering one image **per chip** per step is the TPU-native equivalent —
+    same math per camera, psum'd gradients, B× throughput.
+    """
+    K = jnp.asarray(cam.K, jnp.float32)
+
+    def step_impl(
+        state: GSState,
+        gt_images,     # [B, H, W, 3]
+        poses,         # [B, 4, 4]
+        ray_origin, ray_dir, ray_depth,
+        key, sample_std, sdf_lr, xyz_lr,
+        sh_active: int, opt_struct: bool,
+    ):
+        b = gt_images.shape[0]
+        kr, ksamp = jax.random.split(key)
+        cam_keys = jax.random.split(kr, b)
+        rsettings = spec.render._replace(sh_degree=sh_active)
+
+        joint_sdf = spec.gs_sdf_reg and not spec.detach_sdf_grad
+        if joint_sdf:
+            rays = RayBatch(
+                origin=ray_origin, direction=ray_dir, depth=ray_depth,
+                xyz=ray_origin + ray_dir * ray_depth,
+            )
+            samples = sample_points(
+                rays, grid, geom, ksamp,
+                surface_sample_num=spec.sdf.surface_sample_num,
+                free_sample_num=spec.sdf.free_sample_num,
+                max_hits=spec.sdf.max_hits,
+                max_steps=spec.sdf.max_steps,
+                sample_std=sample_std,
+                truncated_dis=spec.sdf.truncated_dis,
+                inner_half_extent=spec.sdf.inner_half_extent,
+            )
+
+        c = state.alive.shape[0]
+
+        def loss_fn(params, pix_delta_b):
+            aux: Dict[str, jnp.ndarray] = {}
+            sdf_p = params["sdf"]
+            model = SplatModel(
+                params=params["gs"], anchors=state.anchors, alive=state.alive
+            )
+
+            sdf_nn_loss = 0.0
+            if joint_sdf:
+                sdf_nn_loss, sdf_aux = sdf_losses(
+                    sdf_p, samples, geom, spec.sdf, sample_std
+                )
+                aux["sdf_nn"] = sdf_nn_loss
+                aux["isigma_mean"] = sdf_aux["isigma_mean"]
+
+            def per_cam(gt, pose, pdel, ck):
+                render = render_splats(
+                    model, pose, K, rsettings, training=True, key=ck,
+                    pix_delta=pdel, center_reg=spec.center_reg,
+                )
+                gs_loss, img_aux = gs_image_losses(
+                    render, gt, params["gs"].scaling, render["visible"],
+                    cam, pose, spec, opt_struct,
+                )
+                gs_sdf_terms = {}
+                if spec.gs_sdf_reg:
+                    vis = jax.lax.stop_gradient(render["visibilities"])
+                    w = jax.lax.stop_gradient(render["samples_w"][:, 0]) * vis
+                    m = (
+                        (vis > spec.visible_thr)
+                        & valid_mask(grid, render["samples"])
+                        & state.alive
+                    )
+                    gs_sdf, _ = sdf_apply(
+                        sdf_p, render["samples"], geom, spec.sdf.field
+                    )
+                    w = jnp.where(m, w, 0.0)
+                    if spec.gs_sdf_weight > 0:
+                        l = losses.gs_sdf_loss(gs_sdf[:, 0], w)
+                        gs_loss = gs_loss + spec.gs_sdf_weight * l
+                        gs_sdf_terms["gs_sdf"] = l
+                    gs_sdf_terms["gs_samples"] = jax.lax.stop_gradient(
+                        render["samples"]
+                    )
+                    gs_sdf_terms["gs_mask"] = m
+                meta = (render["radii"], render["visibilities"],
+                        render["visible"])
+                return gs_loss, img_aux, gs_sdf_terms, meta
+
+            gs_losses_b, img_aux_b, gs_sdf_b, meta_b = jax.vmap(per_cam)(
+                gt_images, poses, pix_delta_b, cam_keys
+            )
+            gs_loss = jnp.mean(gs_losses_b)
+            aux.update({k: jnp.mean(v) for k, v in img_aux_b.items()})
+            if spec.gs_sdf_reg and "gs_sdf" in gs_sdf_b:
+                aux["gs_sdf"] = jnp.mean(gs_sdf_b["gs_sdf"])
+
+            # eikonal on gs samples from all cameras trains the SDF side
+            if spec.gs_sdf_reg and joint_sdf and spec.sdf.eikonal_weight > 0:
+                xs = gs_sdf_b["gs_samples"].reshape(-1, 3)
+                ms = gs_sdf_b["gs_mask"].reshape(-1)
+                sdf_nn_loss = sdf_nn_loss + sdf_regularization(
+                    sdf_p, xs, ms, geom, spec.sdf, sample_std,
+                    curvate=False, aux=aux,
+                )
+
+            total = gs_loss + sdf_nn_loss
+            aux["gs_loss"] = gs_loss
+            return total, (aux, meta_b)
+
+        pix_delta0 = jnp.zeros((b, c, 2), jnp.float32)
+        (loss, (aux, meta_b)), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(state.params, pix_delta0)
+        g_params, g_pixdelta = grads
+        radii_b, vis_b, visible_b = meta_b
+
+        lr_tree = gs_lr_tree(spec, state.params["sdf"], sdf_lr, xyz_lr)
+        params2, opt2 = adam_update(g_params, state.opt, state.params, lr_tree)
+
+        # accumulate densify stats over all B cameras
+        dstate = state.dstate
+        def body(ds, xs):
+            g, r, v, vb = xs
+            return update_densify_state(
+                ds, g, r, v, vb, spec.render.width, spec.render.height
+            ), None
+        dstate2, _ = jax.lax.scan(
+            body, dstate, (g_pixdelta, radii_b, vis_b, visible_b)
+        )
+
+        aux["loss"] = loss
+        return (
+            GSState(params=params2, anchors=state.anchors, alive=state.alive,
+                    opt=opt2, dstate=dstate2),
+            aux,
+        )
+
+    if mesh is None:
+        return jax.jit(
+            step_impl, static_argnames=("sh_active", "opt_struct")
+        )
+    rep = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        step_impl,
+        static_argnames=("sh_active", "opt_struct"),
+        in_shardings=(rep, shard, shard, shard, shard, shard, rep, rep, rep,
+                      rep),
+        out_shardings=(rep, rep),
+    )

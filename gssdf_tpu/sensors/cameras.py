@@ -140,7 +140,10 @@ def points_to_normals(points):
     dx = points[2:, 1:-1] - points[:-2, 1:-1]
     dy = points[1:-1, 2:] - points[1:-1, :-2]
     n = jnp.cross(dx, dy)
-    n = n / jnp.clip(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+    # rsqrt(|n|^2 + eps) keeps the GRADIENT finite at zero-length normals
+    # (empty-sky pixels): norm()'s derivative at 0 is NaN and a downstream
+    # mask multiplies NaN * 0 = NaN into the backward pass.
+    n = n * jax.lax.rsqrt(jnp.sum(n * n, -1, keepdims=True) + 1e-24)
     out = jnp.zeros_like(points)
     return out.at[1:-1, 1:-1].set(n)
 

@@ -1,0 +1,459 @@
+"""GS training phase: the joint SDF+2DGS jitted step and refine callbacks.
+
+Reference analog: NeuralSLAM::{gs_train, gs_train_batch_iter} +
+NeuralGS::train_callback (neural_mapping.cpp:190-292,356-531;
+neural_gaussian.cpp:568-624).
+
+Structure: ONE jit graph per (sh_degree, opt_struct) covering the whole
+iteration — joint SDF ray batch, full-image render, all losses, backward
+through both fields, shared Adam with per-leaf lrs, densify-state update.
+Refine/prune/reset are separate jitted masked ops fired by the host schedule
+(GSTrainer.callback) — shapes never change, so nothing recompiles.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import losses
+from ..fields.occupancy import OccupancyGrid, valid_mask
+from ..fields.sampling import RayBatch, sample_points
+from ..fields.sdf_field import MapGeometry, sdf_apply
+from ..gs.model import (
+    DensifyState,
+    RefineSpec,
+    SplatModel,
+    SplatParams,
+    densify_state_init,
+    prune_invisible,
+    refine_splats,
+    reset_opacity,
+    update_densify_state,
+)
+from ..gs.render import RenderSettings, render_splats
+from ..sensors.cameras import Camera, depth_to_normal
+from .optim import AdamState, adam_init, adam_update
+from .sdf import SDFTrainSpec, sdf_losses, sdf_regularization
+
+
+@dataclass(frozen=True)
+class GSTrainSpec:
+    """Static knobs of the GS/joint phase (config/base.yaml:36-79)."""
+
+    sdf: SDFTrainSpec
+    render: RenderSettings
+    refine: RefineSpec
+    rgb_weight: float = 0.8
+    dssim_weight: float = 0.2
+    render_normal_weight: float = 0.01
+    isotropic_weight: float = 0.05
+    gs_sdf_weight: float = 1e-3
+    visible_thr: float = 1e-1
+    center_reg: bool = False
+    detach_sdf_grad: bool = False
+    gs_sdf_reg: bool = True
+    sh_degree: int = 0
+    sh_degree_interval: int = 1000
+    refine_gs_struct_start_iter: int = 3000
+    refine_start_iter: int = 500
+    refine_every: int = 100
+    reset_every: int = 3000
+    refine_scale2d_stop_iter: int = 0
+    pause_refine_after_reset: int = 0
+    num_train_data: int = 1
+    gs_iter_step: int = 30000
+    lr: float = 5e-3            # SDF lr ceiling during joint phase: k_lr_end
+    lr_end: float = 1e-4
+
+
+class GSState(NamedTuple):
+    """Everything the joint step threads through."""
+
+    params: Dict[str, Any]      # {"sdf": pytree, "gs": SplatParams}
+    anchors: jnp.ndarray
+    alive: jnp.ndarray
+    opt: AdamState
+    dstate: DensifyState
+
+
+def gs_state_init(sdf_params, model: SplatModel) -> GSState:
+    params = {"sdf": sdf_params, "gs": model.params}
+    return GSState(
+        params=params,
+        anchors=model.anchors,
+        alive=model.alive,
+        opt=adam_init(params),
+        dstate=densify_state_init(model.alive.shape[0]),
+    )
+
+
+def splat_model(state: GSState) -> SplatModel:
+    return SplatModel(
+        params=state.params["gs"], anchors=state.anchors, alive=state.alive
+    )
+
+
+def gs_lr_tree(spec: GSTrainSpec, sdf_params, sdf_lr, xyz_lr) -> Dict[str, Any]:
+    """Per-leaf learning rates = the reference's Adam param groups
+    (neural_gaussian.cpp:434-453; SDF group tied at train_callback:610-623)."""
+    sdf_lrs = jax.tree_util.tree_map(lambda _: sdf_lr, sdf_params)
+    gs = SplatParams(
+        offsets=xyz_lr,
+        scaling=5e-3,
+        quaternion=1e-3,
+        opacity=5e-2,
+        features_dc=2.5e-3,
+        features_rest=2.5e-3 / 20.0,
+    )
+    return {"sdf": sdf_lrs, "gs": gs}
+
+
+def gs_image_losses(
+    render: Dict[str, jnp.ndarray],
+    gt_image: jnp.ndarray,
+    scaling: jnp.ndarray,
+    visible: jnp.ndarray,
+    cam: Camera,
+    pose_c2w: jnp.ndarray,
+    spec: GSTrainSpec,
+    opt_struct: bool,
+    mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """L1 + DSSIM + normal-consistency + isotropic
+    (gs_train_batch_iter, neural_mapping.cpp:190-292)."""
+    aux: Dict[str, jnp.ndarray] = {}
+    color = render["color"]
+    l_rgb = losses.rgb_loss(color, gt_image, mask)
+    l_dssim = losses.dssim_loss(color, gt_image, mask)
+    total = spec.rgb_weight * l_rgb + spec.dssim_weight * l_dssim
+    aux["color"] = l_rgb
+    aux["dssim"] = l_dssim
+
+    if opt_struct and spec.render_normal_weight > 0:
+        depth = render["depth"] if True else render["median"]
+        d_normal = depth_to_normal(cam, pose_c2w, depth)
+        alpha = jax.lax.stop_gradient(render["alpha"])
+        d_normal = d_normal * alpha
+        n_err = jnp.mean(
+            jnp.square(alpha[..., 0])
+            - jnp.nan_to_num(jnp.sum(d_normal * render["normal"], -1))
+        )
+        total = total + spec.render_normal_weight * n_err
+        aux["normal"] = n_err
+
+    if spec.isotropic_weight > 0:
+        scale2 = jnp.exp(scaling[:, :2])
+        iso = jnp.abs(scale2 - jnp.mean(scale2, -1, keepdims=True))
+        l_iso = losses.masked_mean(iso, visible)
+        total = total + spec.isotropic_weight * l_iso
+        aux["isotropic"] = l_iso
+    return total, aux
+
+
+def make_gs_train_step(
+    spec: GSTrainSpec,
+    geom: MapGeometry,
+    grid: OccupancyGrid,
+    cam: Camera,
+):
+    """Builds step(state, gt_image, pose_c2w, rays..., key, std, lrs,
+    sh_degree*, opt_struct*) — starred args static."""
+    K = jnp.asarray(cam.K, jnp.float32)
+
+    @functools.partial(jax.jit, static_argnames=("sh_active", "opt_struct"))
+    def step(
+        state: GSState,
+        gt_image,
+        pose_c2w,
+        ray_origin,
+        ray_dir,
+        ray_depth,
+        key,
+        sample_std,
+        sdf_lr,
+        xyz_lr,
+        sh_active: int,
+        opt_struct: bool,
+    ):
+        krender, ksamp = jax.random.split(key)
+        rsettings = spec.render._replace(sh_degree=sh_active)
+
+        joint_sdf = spec.gs_sdf_reg and not spec.detach_sdf_grad
+        if joint_sdf:
+            rays = RayBatch(
+                origin=ray_origin,
+                direction=ray_dir,
+                depth=ray_depth,
+                xyz=ray_origin + ray_dir * ray_depth,
+            )
+            samples = sample_points(
+                rays,
+                grid,
+                geom,
+                ksamp,
+                surface_sample_num=spec.sdf.surface_sample_num,
+                free_sample_num=spec.sdf.free_sample_num,
+                max_hits=spec.sdf.max_hits,
+                max_steps=spec.sdf.max_steps,
+                sample_std=sample_std,
+                truncated_dis=spec.sdf.truncated_dis,
+                inner_half_extent=spec.sdf.inner_half_extent,
+            )
+
+        c = state.alive.shape[0]
+
+        def loss_fn(params, pix_delta):
+            aux: Dict[str, jnp.ndarray] = {}
+            sdf_p = params["sdf"]
+            model = SplatModel(
+                params=params["gs"], anchors=state.anchors, alive=state.alive
+            )
+
+            # joint SDF ray loss (sdf_train_batch_iter inside gs_train,
+            # neural_mapping.cpp:403-407)
+            sdf_nn_loss = 0.0
+            if joint_sdf:
+                sdf_nn_loss, sdf_aux = sdf_losses(
+                    sdf_p, samples, geom, spec.sdf, sample_std
+                )
+                aux["sdf_nn"] = sdf_nn_loss
+                aux["isigma_mean"] = sdf_aux["isigma_mean"]
+
+            render = render_splats(
+                model,
+                pose_c2w,
+                K,
+                rsettings,
+                training=True,
+                key=krender,
+                pix_delta=pix_delta,
+                center_reg=spec.center_reg,
+            )
+
+            gs_loss, img_aux = gs_image_losses(
+                render,
+                gt_image,
+                params["gs"].scaling,
+                render["visible"],
+                cam,
+                pose_c2w,
+                spec,
+                opt_struct,
+            )
+            aux.update(img_aux)
+
+            # GS->SDF mutual consistency (neural_mapping.cpp:420-462)
+            if spec.gs_sdf_reg:
+                vis = jax.lax.stop_gradient(render["visibilities"])
+                w = jax.lax.stop_gradient(render["samples_w"][:, 0]) * vis
+                m = (
+                    (vis > spec.visible_thr)
+                    & valid_mask(grid, render["samples"])
+                    & state.alive
+                )
+                gs_sdf, _ = sdf_apply(sdf_p, render["samples"], geom, spec.sdf.field)
+                w = jnp.where(m, w, 0.0)
+                if spec.gs_sdf_weight > 0:
+                    l_gs_sdf = losses.gs_sdf_loss(gs_sdf[:, 0], w)
+                    gs_loss = gs_loss + spec.gs_sdf_weight * l_gs_sdf
+                    aux["gs_sdf"] = l_gs_sdf
+                    aux["vis_n"] = jnp.sum(m)
+                if joint_sdf and spec.sdf.eikonal_weight > 0:
+                    # eikonal on (detached) gs samples trains the SDF side
+                    sdf_nn_loss = sdf_nn_loss + sdf_regularization(
+                        sdf_p,
+                        jax.lax.stop_gradient(render["samples"]),
+                        m,
+                        geom,
+                        spec.sdf,
+                        sample_std,
+                        curvate=False,
+                        aux=aux,
+                    )
+
+            total = gs_loss + sdf_nn_loss
+            aux["gs_loss"] = gs_loss
+            out_meta = (
+                render["radii"],
+                render["visibilities"],
+                render["visible"],
+            )
+            return total, (aux, out_meta)
+
+        pix_delta0 = jnp.zeros((c, 2), jnp.float32)
+        (loss, (aux, meta)), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(state.params, pix_delta0)
+        g_params, g_pixdelta = grads
+        radii, visibilities, visible = meta
+
+        lr_tree = gs_lr_tree(spec, state.params["sdf"], sdf_lr, xyz_lr)
+        params2, opt2 = adam_update(g_params, state.opt, state.params, lr_tree)
+
+        dstate2 = update_densify_state(
+            state.dstate,
+            g_pixdelta,
+            radii,
+            visibilities,
+            visible,
+            spec.render.width,
+            spec.render.height,
+        )
+        aux["loss"] = loss
+        new_state = GSState(
+            params=params2,
+            anchors=state.anchors,
+            alive=state.alive,
+            opt=opt2,
+            dstate=dstate2,
+        )
+        return new_state, aux
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# refine callbacks (host-scheduled, jitted bodies)
+# ---------------------------------------------------------------------------
+
+
+def make_refine_fns(spec: GSTrainSpec):
+    @jax.jit
+    def do_refine(state: GSState, key, iter_num):
+        model = splat_model(state)
+        mu_gs = state.opt.mu["gs"]
+        nu_gs = state.opt.nu["gs"]
+        model2, dstate2, mu2, nu2, info = refine_splats(
+            model,
+            state.dstate,
+            mu_gs,
+            nu_gs,
+            key,
+            spec.refine,
+            iter_num,
+            spec.reset_every,
+            scale2d_active=spec.refine_scale2d_stop_iter > 0,
+        )
+        opt2 = AdamState(
+            step=state.opt.step,
+            mu={"sdf": state.opt.mu["sdf"], "gs": mu2},
+            nu={"sdf": state.opt.nu["sdf"], "gs": nu2},
+        )
+        return (
+            GSState(
+                params={"sdf": state.params["sdf"], "gs": model2.params},
+                anchors=model2.anchors,
+                alive=model2.alive,
+                opt=opt2,
+                dstate=dstate2,
+            ),
+            info,
+        )
+
+    @jax.jit
+    def do_prune_invisible(state: GSState):
+        model = splat_model(state)
+        model2, dstate2, mu2, nu2, n = prune_invisible(
+            model, state.dstate, state.opt.mu["gs"], state.opt.nu["gs"]
+        )
+        opt2 = AdamState(
+            step=state.opt.step,
+            mu={"sdf": state.opt.mu["sdf"], "gs": mu2},
+            nu={"sdf": state.opt.nu["sdf"], "gs": nu2},
+        )
+        return (
+            GSState(
+                params={"sdf": state.params["sdf"], "gs": model2.params},
+                anchors=model2.anchors,
+                alive=model2.alive,
+                opt=opt2,
+                dstate=dstate2,
+            ),
+            n,
+        )
+
+    @jax.jit
+    def do_reset_opacity(state: GSState):
+        model = splat_model(state)
+        model2, mu2, nu2 = reset_opacity(
+            model, state.opt.mu["gs"], state.opt.nu["gs"], spec.refine.prune_opa
+        )
+        opt2 = AdamState(
+            step=state.opt.step,
+            mu={"sdf": state.opt.mu["sdf"], "gs": mu2},
+            nu={"sdf": state.opt.nu["sdf"], "gs": nu2},
+        )
+        return GSState(
+            params={"sdf": state.params["sdf"], "gs": model2.params},
+            anchors=model2.anchors,
+            alive=model2.alive,
+            opt=opt2,
+            dstate=state.dstate,
+        )
+
+    return do_refine, do_prune_invisible, do_reset_opacity
+
+
+def xyz_lr_at(spec: GSTrainSpec, iter_num: int) -> float:
+    """Exponential decay 1.6e-4 -> 1.6e-6 x spatial_scale
+    (train_callback, neural_gaussian.cpp:610-618)."""
+    s = spec.refine.spatial_scale
+    ratio = iter_num / max(spec.gs_iter_step, 1)
+    return float(
+        np.exp(
+            np.log(1.6e-4 * s) * (1 - ratio) + np.log(1.6e-6 * s) * ratio
+        )
+    )
+
+
+def sdf_lr_at(spec: GSTrainSpec, xyz_lr: float) -> float:
+    """SDF lr tied below the GS xyz lr during the joint phase
+    (train_callback, neural_gaussian.cpp:619-623)."""
+    if spec.detach_sdf_grad:
+        return 0.0
+    return min(xyz_lr, spec.lr_end)
+
+
+class GSTrainer:
+    """Host-side schedule around the jitted step — the train_callback logic
+    (neural_gaussian.cpp:568-624) with masked refine ops instead of
+    shape-changing surgery."""
+
+    def __init__(self, spec: GSTrainSpec, geom, grid, cam: Camera):
+        self.spec = spec
+        self.step_fn = make_gs_train_step(spec, geom, grid, cam)
+        self.refine_fn, self.prune_inv_fn, self.reset_fn = make_refine_fns(spec)
+
+    def sh_active(self, iter_num: int) -> int:
+        return min(self.spec.sh_degree, iter_num // self.spec.sh_degree_interval)
+
+    def callback(self, state: GSState, iter_num: int, key) -> Tuple[GSState, Dict]:
+        """Post-step refine schedule. Returns possibly-updated state."""
+        spec = self.spec
+        info: Dict[str, Any] = {}
+        refine_stop = spec.gs_iter_step // 2
+        if iter_num >= refine_stop or iter_num <= 0:
+            return state, info
+
+        if iter_num % spec.num_train_data == 0:
+            state, n = self.prune_inv_fn(state)
+            info["n_prune_invisible"] = int(n)
+
+        if (
+            iter_num > spec.refine_start_iter
+            and iter_num % spec.refine_every == 0
+            and (iter_num % spec.reset_every) >= spec.pause_refine_after_reset
+        ):
+            state, rinfo = self.refine_fn(state, key, jnp.int32(iter_num))
+            info.update({k: int(v) for k, v in rinfo.items()})
+
+        if iter_num % spec.reset_every == 0:
+            state = self.reset_fn(state)
+            info["opacity_reset"] = 1
+        return state, info

@@ -11,7 +11,10 @@ import jax.numpy as jnp
 
 
 def normalize(v: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
-    return v / jnp.clip(jnp.linalg.norm(v, axis=axis, keepdims=True), eps)
+    """Safe-gradient normalize: rsqrt(|v|^2 + eps^2) is finite at v = 0,
+    where norm()'s derivative would be NaN and poison the backward pass."""
+    n2 = jnp.sum(v * v, axis=axis, keepdims=True)
+    return v * jax.lax.rsqrt(n2 + eps * eps)
 
 
 def quat_to_rotmat(quat: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,217 @@
+"""Joint GS(+SDF) training-step smoke tests on a tiny synthetic scene."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gssdf_tpu.fields.occupancy import build_occupancy_grid
+from gssdf_tpu.fields.sdf_field import (
+    MapGeometry,
+    SDFFieldSpec,
+    init_sdf_field,
+)
+from gssdf_tpu.fields.hashgrid import HashGridSpec
+from gssdf_tpu.gs.model import build_splat_model
+from gssdf_tpu.gs.render import RenderSettings, render_splats
+from gssdf_tpu.sensors.cameras import Camera
+from gssdf_tpu.train.gs import (
+    GSTrainSpec,
+    GSTrainer,
+    RefineSpec,
+    gs_state_init,
+    sdf_lr_at,
+    splat_model,
+    xyz_lr_at,
+)
+from gssdf_tpu.train.sdf import SDFTrainSpec
+from gssdf_tpu.utils.math import logit
+
+W, H = 48, 32
+CAM = Camera(fx=60.0, fy=60.0, cx=W / 2, cy=H / 2, width=W, height=H)
+
+
+def _small_field_spec():
+    return SDFFieldSpec(
+        grid=HashGridSpec(
+            n_levels=4, n_features_per_level=2, log2_hashmap_size=12,
+            base_resolution=8, per_level_scale=1.5,
+        ),
+        hidden_dim=16,
+        geo_num_layer=2,
+    )
+
+
+def _scene():
+    """Ground-truth: 40 colored splats on a z=2 wall; 2 training views."""
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    n = 40
+    anchors = jnp.concatenate(
+        [
+            jax.random.uniform(k1, (n, 2), minval=-0.5, maxval=0.5),
+            jnp.full((n, 1), 2.0),
+        ],
+        -1,
+    )
+    scales = jnp.full((n, 3), np.log(0.08), jnp.float32)
+    quats = jnp.tile(jnp.array([[1.0, 0, 0, 0]], jnp.float32), (n, 1))
+    opa = jnp.full((n,), logit(0.8), jnp.float32)
+    gt = build_splat_model(k2, anchors, scales, quats, opa, 0, n)
+
+    poses = [
+        jnp.eye(4, dtype=jnp.float32),
+        jnp.eye(4, dtype=jnp.float32).at[0, 3].set(0.1),
+    ]
+    settings = RenderSettings(width=W, height=H, tile_cap=64, tile_expand=16)
+    gts = [
+        render_splats(gt, p, jnp.asarray(CAM.K), settings, training=False)[
+            "color"
+        ]
+        for p in poses
+    ]
+    return gt, poses, gts
+
+
+def _spec(**kw):
+    field = _small_field_spec()
+    sdf_spec = SDFTrainSpec(
+        field=field, batch_rays=32, max_hits=4, max_steps=64,
+        truncated_dis=0.15, inner_half_extent=2.0,
+        numerical_grad=False, align_weight=0.0,
+    )
+    defaults = dict(
+        sdf=sdf_spec,
+        render=RenderSettings(width=W, height=H, tile_cap=64, tile_expand=16),
+        refine=RefineSpec(),
+        gs_iter_step=100,
+        num_train_data=2,
+        sh_degree=0,
+    )
+    defaults.update(kw)
+    return GSTrainSpec(**defaults)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return _scene()
+
+
+def _init_state(scene, spec, capacity=64, perturb=0.05):
+    gt, poses, gts = scene
+    key = jax.random.PRNGKey(7)
+    k1, k2, k3 = jax.random.split(key, 3)
+    n = gt.anchors.shape[0]
+    anchors = gt.anchors[:n] + perturb * jax.random.normal(k1, (n, 3))
+    scales = jnp.full((n, 3), np.log(0.06), jnp.float32)
+    quats = jnp.tile(jnp.array([[1.0, 0, 0, 0]], jnp.float32), (n, 1))
+    opa = jnp.full((n,), logit(0.5), jnp.float32)
+    model = build_splat_model(k2, anchors, scales, quats, opa,
+                              spec.sh_degree, capacity)
+    sdf_params = init_sdf_field(k3, spec.sdf.field)
+    return gs_state_init(sdf_params, model)
+
+
+def test_gs_step_color_only(scene):
+    """Color losses fall when only the image losses are on."""
+    gt, poses, gts = scene
+    spec = _spec(gs_sdf_reg=False, render_normal_weight=0.0)
+    geom = MapGeometry(origin=(0.0, 0.0, 2.0), map_size=4.0)
+    pts = np.asarray(gt.anchors)
+    grid = build_occupancy_grid(pts, geom, 32)
+    trainer = GSTrainer(spec, geom, grid, CAM)
+    state = _init_state(scene, spec)
+
+    rays_o = jnp.zeros((spec.sdf.batch_rays, 3))
+    rays_d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (spec.sdf.batch_rays, 1))
+    rays_t = jnp.full((spec.sdf.batch_rays, 1), 2.0)
+
+    first = last = None
+    for i in range(25):
+        key = jax.random.PRNGKey(i)
+        state, aux = trainer.step_fn(
+            state, gts[i % 2], poses[i % 2], rays_o, rays_d, rays_t,
+            key, 0.05, 0.0, 1.6e-3, 0, False,
+        )
+        if i == 0:
+            first = float(aux["color"])
+        last = float(aux["color"])
+    assert np.isfinite(last)
+    assert last < first * 0.8, (first, last)
+
+
+def test_gs_step_joint_with_sdf(scene):
+    """Full joint step (image + gs_sdf reg + sdf rays) runs and is finite."""
+    gt, poses, gts = scene
+    spec = _spec(gs_sdf_reg=True, render_normal_weight=0.01,
+                 gs_sdf_weight=1e-3)
+    geom = MapGeometry(origin=(0.0, 0.0, 2.0), map_size=4.0)
+    grid = build_occupancy_grid(np.asarray(gt.anchors), geom, 32)
+    trainer = GSTrainer(spec, geom, grid, CAM)
+    state = _init_state(scene, spec)
+
+    r = spec.sdf.batch_rays
+    rays_o = jnp.zeros((r, 3))
+    rays_d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (r, 1))
+    rays_t = jnp.full((r, 1), 2.0)
+
+    losses = []
+    for i in range(6):
+        key = jax.random.PRNGKey(100 + i)
+        xyz_lr = xyz_lr_at(spec, i)
+        state, aux = trainer.step_fn(
+            state, gts[i % 2], poses[i % 2], rays_o, rays_d, rays_t,
+            key, 0.05, sdf_lr_at(spec, xyz_lr), xyz_lr,
+            trainer.sh_active(i), i > spec.refine_gs_struct_start_iter,
+        )
+        losses.append(float(aux["loss"]))
+        for k, v in aux.items():
+            assert np.isfinite(np.asarray(v)).all(), (k, v)
+    assert np.isfinite(losses).all if hasattr(np, "isfinite") else True
+    # sdf head produced outputs
+    assert "gs_sdf" in aux and "sdf_nn" in aux
+
+
+def test_trainer_callback_refines(scene):
+    """The host schedule fires refine + opacity reset without recompiling
+    (shapes static) and keeps the state consistent."""
+    gt, poses, gts = scene
+    spec = _spec(
+        gs_sdf_reg=False,
+        refine_start_iter=1,
+        refine_every=2,
+        reset_every=6,
+        gs_iter_step=40,
+        refine=RefineSpec(grow_grad2d=1e-9, prune_opa=0.005),
+    )
+    geom = MapGeometry(origin=(0.0, 0.0, 2.0), map_size=4.0)
+    grid = build_occupancy_grid(np.asarray(gt.anchors), geom, 32)
+    trainer = GSTrainer(spec, geom, grid, CAM)
+    state = _init_state(scene, spec, capacity=128)
+    n0 = int(jnp.sum(state.alive))
+
+    r = spec.sdf.batch_rays
+    rays = (jnp.zeros((r, 3)),
+            jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (r, 1)),
+            jnp.full((r, 1), 2.0))
+
+    grew = reset_seen = False
+    for i in range(8):
+        key = jax.random.PRNGKey(i)
+        state, aux = trainer.step_fn(
+            state, gts[i % 2], poses[i % 2], *rays, key, 0.05, 0.0,
+            1.6e-3, 0, False,
+        )
+        state, info = trainer.callback(state, i, jax.random.PRNGKey(999 + i))
+        if info.get("n_dup", 0) or info.get("n_split", 0):
+            grew = True
+        if info.get("opacity_reset"):
+            reset_seen = True
+    assert grew
+    assert reset_seen
+    assert int(jnp.sum(state.alive)) >= n0  # grad thresh tiny -> growth
+    # all params still finite
+    for leaf in jax.tree_util.tree_leaves(state.params):
+        assert np.isfinite(np.asarray(leaf)).all()
