@@ -1,0 +1,150 @@
+"""CLI entry: train | view | render.
+
+Reference analog: ``src/neural_mapping_node.cpp:16-139``:
+  train  <config.yaml> <dataset_path>   — full batch_train
+  view   <run_dir>                      — load checkpoint, keyboard commands
+  render <run_dir> <pose_file> [--fps N] [--camera-spec file]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def cmd_train(args):
+    from .config import load_config
+    from .train.pipeline import Pipeline
+
+    cfg = load_config(args.config, args.data, make_run_dir=True)
+    if args.iters is not None:
+        cfg.sdf_iter_step = args.iters
+    if args.gs_iters is not None:
+        cfg.gs_iter_step = args.gs_iters
+    print(f"run dir: {cfg.output_path}")
+    pipe = Pipeline(cfg)
+    pipe.batch_train()
+
+
+def _load_run(run_dir: str):
+    from .config import load_config
+    from .train.pipeline import Pipeline
+
+    run = Path(run_dir)
+    cfg_dir = run / "model" / "config"
+    cfgs = sorted(cfg_dir.glob("*.yaml")) if cfg_dir.exists() else []
+    if not cfgs:
+        raise FileNotFoundError(f"no config under {cfg_dir}")
+    cfg = load_config(cfgs[0])
+    cfg.output_path = str(run)
+    cfg.model_path = str(run / "model")
+    pipe = Pipeline(cfg, with_data=False)
+    pipe.load_checkpoint(run / "model")
+    return pipe
+
+
+def cmd_view(args):
+    """Keyboard loop (keyboard_loop, neural_mapping.cpp:1482-1684):
+    m=mesh, r=render pose file, q=quit."""
+    pipe = _load_run(args.run_dir)
+    print("commands: m <res> = save mesh; q = quit")
+    for line in sys.stdin:
+        tok = line.split()
+        if not tok:
+            continue
+        if tok[0] == "q":
+            break
+        if tok[0] == "m":
+            res = float(tok[1]) if len(tok) > 1 else pipe.cfg.export_resolution
+            pipe.save_mesh(res)
+        else:
+            print(f"unknown command {tok[0]}")
+
+
+def cmd_render(args):
+    """Headless novel-view rendering along a pose file
+    (render mode, neural_mapping.cpp:1108-1200)."""
+    import jax.numpy as jnp
+
+    from .data.poses import load_poses
+    from .gs.render import RenderSettings, render_splats
+    from .sensors.cameras import Camera
+    from .train.gs import splat_model
+    from .utils.render_spec import load_render_camera_spec
+
+    pipe = _load_run(args.run_dir)
+    pf = load_poses(args.pose_file, pose_type=0)
+    cam = None
+    specs = None
+    if args.camera_spec:
+        specs = load_render_camera_spec(args.camera_spec)
+    out_dir = Path(args.out or (Path(args.run_dir) / "gs_log" / "path"))
+    (out_dir / "color").mkdir(parents=True, exist_ok=True)
+    (out_dir / "depth").mkdir(parents=True, exist_ok=True)
+
+    import cv2
+
+    for i, pose in enumerate(pf.poses):
+        if specs is not None:
+            s = specs[min(i, len(specs) - 1)]
+            cam = Camera(s.fx, s.fy, s.cx, s.cy, s.width, s.height)
+        elif cam is None:
+            raise SystemExit("render mode needs --camera-spec")
+        settings = RenderSettings(
+            width=cam.width, height=cam.height,
+            near=pipe.cfg.near, far=pipe.cfg.far,
+            sh_degree=pipe.cfg.sh_degree, tile_cap=pipe.cfg.tile_cap,
+        )
+        out = render_splats(
+            splat_model(pipe.gs_state), jnp.asarray(pose),
+            jnp.asarray(cam.K), settings, training=False,
+        )
+        color = (np.clip(np.asarray(out["color"]), 0, 1) * 255).astype(np.uint8)
+        cv2.imwrite(
+            str(out_dir / "color" / f"{i:05d}.png"),
+            cv2.cvtColor(color, cv2.COLOR_RGB2BGR),
+        )
+        depth = np.asarray(out["depth"])[..., 0]
+        dmax = max(float(depth.max()), 1e-6)
+        d8 = (np.clip(depth / dmax, 0, 1) * 255).astype(np.uint8)
+        cv2.imwrite(
+            str(out_dir / "depth" / f"{i:05d}.png"),
+            cv2.applyColorMap(d8, cv2.COLORMAP_TURBO),
+        )
+    print(f"rendered {len(pf.poses)} frames -> {out_dir}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="gssdf_tpu")
+    sub = p.add_subparsers(dest="mode", required=True)
+
+    pt = sub.add_parser("train")
+    pt.add_argument("config")
+    pt.add_argument("data")
+    pt.add_argument("--iters", type=int, default=None,
+                    help="override sdf_iter_step")
+    pt.add_argument("--gs-iters", type=int, default=None,
+                    help="override gs_iter_step")
+    pt.set_defaults(fn=cmd_train)
+
+    pv = sub.add_parser("view")
+    pv.add_argument("run_dir")
+    pv.set_defaults(fn=cmd_view)
+
+    pr = sub.add_parser("render")
+    pr.add_argument("run_dir")
+    pr.add_argument("pose_file")
+    pr.add_argument("--camera-spec", default=None)
+    pr.add_argument("--fps", type=int, default=30)
+    pr.add_argument("--out", default=None)
+    pr.set_defaults(fn=cmd_render)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

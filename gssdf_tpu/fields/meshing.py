@@ -1,0 +1,177 @@
+"""SDF -> mesh extraction with occupancy masking and normal colors.
+
+Reference analog: ``LocalMap::meshing_`` (local_map.cpp:329-447): x-slab
+chunking sized by the vis batch budget, octree valid-mask (points outside
+default to sdf 1e-6), marching cubes, boundary-artifact filter via the
+27-neighbor valid mask, vertex colors from SDF normals; and
+``mesher::Mesher::cull_mesh`` (mesher.cpp:76-160) frustum/depth culling.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.marching import compact_mesh, marching_tets
+from .occupancy import OccupancyGrid, valid_mask
+from .sdf_field import MapGeometry, SDFFieldSpec, sdf_apply, sdf_gradient_numerical
+
+_OUTSIDE_SDF = 1e-6  # default for unobserved space (local_map.cpp:381)
+
+
+def extract_mesh(
+    sdf_params,
+    geom: MapGeometry,
+    spec: SDFFieldSpec,
+    grid: OccupancyGrid,
+    resolution: float,
+    bounds_lo: Optional[np.ndarray] = None,
+    bounds_hi: Optional[np.ndarray] = None,
+    slab_voxels: int = 64,
+    with_colors: bool = True,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Marching over the map cube at ``resolution``; returns
+    (verts [V, 3] world, faces [F, 3], colors [V, 3] float 0-1)."""
+    half = 0.5 * geom.map_size
+    o = np.asarray(geom.origin)
+    lo = o - half if bounds_lo is None else np.asarray(bounds_lo)
+    hi = o + half if bounds_hi is None else np.asarray(bounds_hi)
+
+    nx, ny, nz = [max(2, int(np.ceil((hi[i] - lo[i]) / resolution)) + 1)
+                  for i in range(3)]
+    # bound per-slab cell count: marching_tets materializes 12 triangles
+    # per cell, so a fat slab would eat GBs (cell budget ~512k -> ~220 MB)
+    slab_voxels = int(max(2, min(slab_voxels, 1 + (1 << 19) // (ny * nz))))
+
+    ys = lo[1] + np.arange(ny) * resolution
+    zs = lo[2] + np.arange(nz) * resolution
+
+    @jax.jit
+    def eval_slab(xs_j):
+        gx, gy, gz = jnp.meshgrid(
+            xs_j, jnp.asarray(ys, jnp.float32), jnp.asarray(zs, jnp.float32),
+            indexing="ij",
+        )
+        pts = jnp.stack([gx, gy, gz], -1).reshape(-1, 3)
+        vm = valid_mask(grid, pts)
+        sdf = sdf_apply(sdf_params, pts, geom, spec)[0][:, 0]
+        sdf = jnp.where(vm, sdf, _OUTSIDE_SDF)
+        return sdf.reshape(xs_j.shape[0], ny, nz), vm.reshape(
+            xs_j.shape[0], ny, nz
+        )
+
+    all_verts, all_faces, n_verts = [], [], 0
+    # overlap slabs by one voxel layer so surfaces crossing slab borders close
+    x_starts = list(range(0, nx - 1, slab_voxels - 1))
+    for xs0 in x_starts:
+        xn = min(slab_voxels, nx - xs0)
+        if xn < 2:
+            continue
+        xs_j = jnp.asarray(
+            lo[0] + (xs0 + np.arange(xn)) * resolution, jnp.float32
+        )
+        sdf_grid, vm_grid = eval_slab(xs_j)
+        tri, mask = marching_tets(sdf_grid, 0.0)
+        verts, faces = compact_mesh(
+            np.asarray(tri), np.asarray(mask),
+            lower=(lo[0] + xs0 * resolution, lo[1], lo[2]),
+            res=resolution,
+        )
+        if len(verts) == 0:
+            continue
+        # boundary-artifact filter: drop faces touching vertices whose
+        # 27-neighborhood isn't fully observed (local_map.cpp:410-417)
+        core_ok = np.asarray(
+            valid_mask(grid, jnp.asarray(verts), core=True)
+        )
+        keep_face = core_ok[faces].all(axis=1)
+        faces = faces[keep_face]
+        if len(faces) == 0:
+            continue
+        used = np.unique(faces)
+        remap = -np.ones(len(verts), np.int64)
+        remap[used] = np.arange(len(used))
+        verts = verts[used]
+        faces = remap[faces].astype(np.int32)
+        all_verts.append(verts)
+        all_faces.append(faces + n_verts)
+        n_verts += len(verts)
+
+    if not all_verts:
+        return (
+            np.zeros((0, 3), np.float32),
+            np.zeros((0, 3), np.int32),
+            np.zeros((0, 3), np.float32),
+        )
+    verts = np.concatenate(all_verts)
+    faces = np.concatenate(all_faces)
+
+    if with_colors:
+        colors = _normal_colors(sdf_params, geom, spec, verts, resolution)
+    else:
+        colors = np.full((len(verts), 3), 0.7, np.float32)
+    return verts, faces, colors
+
+
+def _normal_colors(sdf_params, geom, spec, verts, delta, chunk=1 << 17):
+    """Vertex colors = 0.5 * (normal + 1) (local_map.cpp:421-435)."""
+    out = []
+    fn = jax.jit(
+        lambda x: sdf_gradient_numerical(
+            sdf_params, x, geom, spec, delta, with_hessian=False
+        )[0]
+    )
+    for i in range(0, len(verts), chunk):
+        g = np.asarray(fn(jnp.asarray(verts[i : i + chunk])))
+        n = g / np.maximum(np.linalg.norm(g, axis=-1, keepdims=True), 1e-9)
+        out.append(0.5 * (n + 1.0))
+    return np.concatenate(out).astype(np.float32)
+
+
+def cull_mesh_by_depth(
+    verts: np.ndarray,
+    faces: np.ndarray,
+    cameras_K: np.ndarray,        # [3, 3]
+    poses_c2w: np.ndarray,        # [N, 4, 4]
+    depth_maps: list,             # list of [H, W, 1] float arrays (may be None)
+    width: int,
+    height: int,
+    tolerance: float = 0.02,
+) -> np.ndarray:
+    """Keep-vertex mask: visible in >=1 frustum and not occluded by more than
+    ``tolerance`` behind the measured depth (mesher.cpp:76-160)."""
+    keep = np.zeros(len(verts), bool)
+    K = np.asarray(cameras_K)
+    for pose, depth in zip(poses_c2w, depth_maps):
+        w2c = np.linalg.inv(pose)
+        pc = verts @ w2c[:3, :3].T + w2c[:3, 3]
+        z = pc[:, 2]
+        front = z > 1e-6
+        u = K[0, 0] * pc[:, 0] / np.where(front, z, 1.0) + K[0, 2]
+        v = K[1, 1] * pc[:, 1] / np.where(front, z, 1.0) + K[1, 2]
+        inside = front & (u >= 0) & (u < width) & (v >= 0) & (v < height)
+        if depth is None:
+            keep |= inside
+            continue
+        ui = np.clip(u.astype(np.int64), 0, width - 1)
+        vi = np.clip(v.astype(np.int64), 0, height - 1)
+        d = depth[vi, ui, 0]
+        keep |= inside & (z < d + tolerance)
+    return keep
+
+
+def apply_vertex_mask(verts, faces, colors, keep_mask):
+    """Drop faces touching removed vertices, reindex."""
+    keep_face = keep_mask[faces].all(axis=1)
+    faces = faces[keep_face]
+    used = np.unique(faces) if len(faces) else np.zeros(0, np.int64)
+    remap = -np.ones(len(verts), np.int64)
+    remap[used] = np.arange(len(used))
+    return (
+        verts[used],
+        remap[faces].astype(np.int32) if len(faces) else faces,
+        colors[used] if colors is not None else None,
+    )

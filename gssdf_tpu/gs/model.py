@@ -68,11 +68,13 @@ class DensifyState(NamedTuple):
     count: jnp.ndarray   # [C] times visible
     vis: jnp.ndarray     # [C] max pixel weight since last invisible-prune
     radii: jnp.ndarray   # [C] max normalized screen radius
+    seen: jnp.ndarray    # [C] rasterized at least once since last vis sweep
+                         # (guards capacity-dropped splats from the pruner)
 
 
 def densify_state_init(capacity: int) -> DensifyState:
     z = jnp.zeros((capacity,), jnp.float32)
-    return DensifyState(grad2d=z, count=z, vis=z, radii=z)
+    return DensifyState(grad2d=z, count=z, vis=z, radii=z, seen=z)
 
 
 # ---------------------------------------------------------------------------
@@ -106,6 +108,8 @@ def init_quats_opacity_with_sdf(
     direction; opacity = exp(-sdf^2 * isigma) (init_gs_with_sdf,
     neural_gaussian.cpp:19-127). Chunked like the reference's
     k_vis_batch_pt_num batching."""
+    if xyz.shape[0] == 0:
+        return jnp.zeros((0, 4), jnp.float32), jnp.zeros((0,), jnp.float32)
     quats_out, opa_out = [], []
 
     @jax.jit
@@ -258,6 +262,7 @@ def update_densify_state(
         count=state.count + vis_f,
         vis=jnp.maximum(state.vis, jnp.where(visible, visibilities, 0.0)),
         radii=jnp.maximum(state.radii, jnp.where(visible, radii / image_size, 0.0)),
+        seen=jnp.maximum(state.seen, vis_f),
     )
 
 
@@ -421,6 +426,7 @@ def refine_splats(
         count=jnp.zeros_like(state.count),
         vis=state.vis,
         radii=jnp.zeros_like(state.radii),
+        seen=state.seen,
     )
 
     model = SplatModel(params=p, anchors=anchors, alive=alive)
@@ -436,9 +442,10 @@ def prune_invisible(
     nu: SplatParams,
     thresh: float = 1e-4,
 ):
-    """Kill splats never visible since the last sweep and reset the vis
-    accumulator (prune_invisible_gs, neural_gaussian.cpp:892-905)."""
-    is_prune = model.alive & (state.vis < thresh)
+    """Kill splats rasterized-but-never-visible since the last sweep and
+    reset the accumulators (prune_invisible_gs, neural_gaussian.cpp:892-905).
+    Splats the tile cap dropped every time (seen == 0) are exempt."""
+    is_prune = model.alive & (state.seen > 0) & (state.vis < thresh)
     alive = model.alive & ~is_prune
 
     def zero_rows(x):
@@ -449,7 +456,9 @@ def prune_invisible(
 
     mu = jax.tree_util.tree_map(zero_rows, mu)
     nu = jax.tree_util.tree_map(zero_rows, nu)
-    state = state._replace(vis=jnp.zeros_like(state.vis))
+    state = state._replace(
+        vis=jnp.zeros_like(state.vis), seen=jnp.zeros_like(state.seen)
+    )
     return model._replace(alive=alive), state, mu, nu, jnp.sum(is_prune)
 
 

@@ -30,52 +30,99 @@ MAX_ALPHA = 0.999
 FILTER_INV_SQUARE = 2.0
 
 
-def splat_pixel_weights(
-    px: jnp.ndarray,         # [P] pixel centers x
-    py: jnp.ndarray,         # [P]
+def splat_coeffs(
     means2d: jnp.ndarray,    # [K, 2]
     M: jnp.ndarray,          # [K, 3, 3]
     opacities: jnp.ndarray,  # [K]
     pix_delta: jnp.ndarray,  # [K, 2] densify tap (zeros)
-):
-    """Returns (alpha [P, K], depth_at_intersection [P, K]).
+) -> jnp.ndarray:
+    """Per-splat pixel-evaluation coefficients [K, 15].
 
-    The uv intersection solves cross(h_u, h_v) with
-    h_u = px' * M_2 - M_0, h_v = py' * M_2 - M_1 (rows of M), where
-    px' = px - delta shifts the splat rigidly in screen space.
+    The uv-intersection cross product distributes over the pixel position:
+    s = A + px*B + py*C with A = M0 x M1, B = M1 x M2, C = M2 x M0 (rows of
+    M), so per-(pixel, splat) evaluation is a handful of fmas on [P, K]
+    planes instead of [P, K, 3] cross-product temporaries. The densify shift
+    folds into A and the center. Layout:
+      [0:3] A  [3:6] B  [6:9] C  [9:12] (dA, dB, dC)  [12:14] center  [14] opa
     """
-    pxk = px[:, None] - pix_delta[None, :, 0]     # [P, K]
-    pyk = py[:, None] - pix_delta[None, :, 1]
-
-    M0 = M[:, 0, :]   # [K, 3]
+    M0 = M[:, 0, :]
     M1 = M[:, 1, :]
     M2 = M[:, 2, :]
+    B = jnp.cross(M1, M2)
+    C = jnp.cross(M2, M0)
+    A = jnp.cross(M0, M1)
+    pdx = pix_delta[:, 0:1]
+    pdy = pix_delta[:, 1:2]
+    A = A - pdx * B - pdy * C
+    dABC = jnp.stack(
+        [jnp.sum(M2 * A, -1), jnp.sum(M2 * B, -1), jnp.sum(M2 * C, -1)], -1
+    )
+    center = means2d + pix_delta
+    return jnp.concatenate(
+        [A, B, C, dABC, center, opacities[:, None]], axis=-1
+    )
 
-    # h_u, h_v: [P, K, 3]
-    h_u = pxk[..., None] * M2[None] - M0[None]
-    h_v = pyk[..., None] * M2[None] - M1[None]
-    s = jnp.cross(h_u, h_v)
-    sz = s[..., 2]
+
+def pixel_weights_from_coeffs(
+    px: jnp.ndarray,      # [P]
+    py: jnp.ndarray,      # [P]
+    coeffs: jnp.ndarray,  # [K, 15] from splat_coeffs
+):
+    """Returns (alpha [P, K], depth_at_intersection [P, K])."""
+    A = coeffs[:, 0:3]
+    B = coeffs[:, 3:6]
+    C = coeffs[:, 6:9]
+    dA, dB, dC = coeffs[:, 9], coeffs[:, 10], coeffs[:, 11]
+    mx, my = coeffs[:, 12], coeffs[:, 13]
+    opa = coeffs[:, 14]
+
+    pxc = px[:, None]                              # [P, 1]
+    pyc = py[:, None]
+    sx = A[None, :, 0] + pxc * B[None, :, 0] + pyc * C[None, :, 0]  # [P, K]
+    sy = A[None, :, 1] + pxc * B[None, :, 1] + pyc * C[None, :, 1]
+    sz = A[None, :, 2] + pxc * B[None, :, 2] + pyc * C[None, :, 2]
     safe = jnp.where(jnp.abs(sz) > 1e-9, sz, 1e-9)
-    u = s[..., 0] / safe
-    v = s[..., 1] / safe
+    inv_sz = 1.0 / safe
+    rho3d = (sx * sx + sy * sy) * (inv_sz * inv_sz)
 
-    rho3d = u * u + v * v
-    dx = pxk - means2d[None, :, 0]
-    dy = pyk - means2d[None, :, 1]
+    dx = pxc - mx[None]
+    dy = pyc - my[None]
     rho2d = FILTER_INV_SQUARE * (dx * dx + dy * dy)
     rho = jnp.minimum(rho3d, rho2d)
 
-    depth = (
-        M2[None, :, 0] * u + M2[None, :, 1] * v + M2[None, :, 2]
-    )  # z at the uv intersection
+    depth = (dA[None] + pxc * dB[None] + pyc * dC[None]) * inv_sz
 
     gauss = jnp.exp(-0.5 * rho)
-    alpha = jnp.minimum(opacities[None, :] * gauss, MAX_ALPHA)
+    alpha = jnp.minimum(opa[None] * gauss, MAX_ALPHA)
     alpha = jnp.where(alpha >= ALPHA_MIN, alpha, 0.0)
     # intersections behind the camera don't contribute
     alpha = jnp.where(depth > 1e-6, alpha, 0.0)
     return alpha, depth
+
+
+def splat_pixel_weights(
+    px: jnp.ndarray,
+    py: jnp.ndarray,
+    means2d: jnp.ndarray,
+    M: jnp.ndarray,
+    opacities: jnp.ndarray,
+    pix_delta: jnp.ndarray,
+):
+    """(alpha [P, K], depth [P, K]) — convenience wrapper."""
+    return pixel_weights_from_coeffs(
+        px, py, splat_coeffs(means2d, M, opacities, pix_delta)
+    )
+
+
+def _cumsum_mats(k: int, dtype):
+    """(inclusive, exclusive) [K, K] upper-triangular ones: row-wise cumsum
+    along the splat axis as ONE matmul — rides the MXU instead of XLA's
+    log-depth cumulative-op expansion."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+    incl = (r <= c).astype(dtype)
+    excl = (r < c).astype(dtype)
+    return incl, excl
 
 
 def composite(
@@ -83,18 +130,22 @@ def composite(
     feats: jnp.ndarray,   # [K, C] per-splat features to accumulate
     depths: jnp.ndarray,  # [P, K] per-pixel intersection depth
 ):
-    """Front-to-back compositing as exclusive-cumprod + matmul.
+    """Front-to-back compositing, MXU-formulated.
 
-    Returns dict with weights w [P, K] and accumulated channels.
+    Transmittance is exp of a triangular-matmul cumsum of log(1 - alpha);
+    the distortion/median cumulative sums are triangular matmuls too. All
+    cumulative structure lands on the MXU as [P, K] @ [K, K].
     Matches CUDA early-stop semantics: a splat whose inclusion would drop
     transmittance below T_EPS is excluded.
     """
-    one_m = 1.0 - alpha
-    # exclusive cumprod: T_i = prod_{j<i} (1 - a_j)
-    t_incl = jnp.cumprod(one_m, axis=-1)
-    t_excl = jnp.concatenate(
-        [jnp.ones_like(t_incl[..., :1]), t_incl[..., :-1]], axis=-1
-    )
+    k = alpha.shape[-1]
+    m_incl, m_excl = _cumsum_mats(k, alpha.dtype)
+
+    # log-space exclusive cumprod (alpha <= MAX_ALPHA so log is finite)
+    log_one_m = jnp.log1p(-alpha)
+    cl_incl = jnp.dot(log_one_m, m_incl, preferred_element_type=jnp.float32)
+    t_incl = jnp.exp(cl_incl)
+    t_excl = jnp.exp(cl_incl - log_one_m)
     keep = t_incl >= T_EPS
     w = jnp.where(keep, t_excl * alpha, 0.0)  # [P, K]
 
@@ -103,7 +154,7 @@ def composite(
     depth_mean = jnp.sum(w * depths, axis=-1, keepdims=True)
 
     # median depth: first splat where cumulative alpha crosses 0.5
-    cum_alpha = jnp.cumsum(w, axis=-1)
+    cum_alpha = jnp.dot(w, m_incl, preferred_element_type=jnp.float32)
     crossed = cum_alpha >= 0.5
     any_cross = jnp.any(crossed, axis=-1, keepdims=True)
     med_idx = jnp.argmax(crossed, axis=-1)
@@ -112,14 +163,8 @@ def composite(
 
     # distortion (2DGS): 2 * sum_i w_i (m_i * A_i - B_i), A/B exclusive sums
     m = depths
-    a_excl = jnp.concatenate(
-        [jnp.zeros_like(cum_alpha[..., :1]), cum_alpha[..., :-1]], axis=-1
-    )
-    wm = w * m
-    b_excl = jnp.concatenate(
-        [jnp.zeros_like(wm[..., :1]), jnp.cumsum(wm, axis=-1)[..., :-1]],
-        axis=-1,
-    )
+    a_excl = jnp.dot(w, m_excl, preferred_element_type=jnp.float32)
+    b_excl = jnp.dot(w * m, m_excl, preferred_element_type=jnp.float32)
     distort = 2.0 * jnp.sum(w * (m * a_excl - b_excl), axis=-1, keepdims=True)
 
     return {

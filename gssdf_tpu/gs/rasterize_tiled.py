@@ -31,7 +31,7 @@ from typing import Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from .rasterize_jax import composite, splat_pixel_weights
+from .rasterize_jax import composite, pixel_weights_from_coeffs, splat_coeffs
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -67,8 +67,12 @@ def tile_bbox(
     ctx = jnp.clip(jnp.floor(mx / tile_size), 0, tiles_x - 1).astype(jnp.int32)
     cty = jnp.clip(jnp.floor(my / tile_size), 0, tiles_y - 1).astype(jnp.int32)
 
-    sx = jnp.minimum(span_x, expand)
-    sy = jnp.minimum(span_y, jnp.maximum(expand // jnp.maximum(sx, 1), 1))
+    # static power-of-2 window width: entry decode becomes shift/mask
+    # instead of a 4M-element integer div/mod by a per-splat divisor
+    win_w = 1 << max((expand.bit_length() - 1) // 2, 0)  # ~sqrt(expand)
+    win_h = expand // win_w
+    sx = jnp.minimum(span_x, win_w)
+    sy = jnp.minimum(span_y, win_h)
     # shift the clamped window to contain the center tile, staying in-bbox
     tx0c = jnp.clip(ctx - sx // 2, tx0, tx1 - sx + 1)
     ty0c = jnp.clip(cty - sy // 2, ty0, ty1 - sy + 1)
@@ -97,6 +101,7 @@ def tile_encode(
     front-to-back.
     """
     n = means2d.shape[0]
+    assert tile_expand & (tile_expand - 1) == 0, "tile_expand must be 2^k"
     tiles_x = _cdiv(width, tile_size)
     tiles_y = _cdiv(height, tile_size)
     num_tiles = tiles_x * tiles_y
@@ -112,11 +117,12 @@ def tile_encode(
         tile_expand,
     )
 
+    # decode entry slot -> (ex, ey) with a STATIC window width (shift/mask)
+    win_w = 1 << max((tile_expand.bit_length() - 1) // 2, 0)
     e = jnp.arange(tile_expand, dtype=jnp.int32)            # [E]
-    sx = jnp.maximum(span_x, 1)[:, None]
-    ex = e[None, :] % sx                                     # [N, E]
-    ey = e[None, :] // sx
-    entry_ok = e[None, :] < (span_x * span_y)[:, None]
+    ex = (e & (win_w - 1))[None, :]                          # [1, E]
+    ey = (e >> (win_w.bit_length() - 1))[None, :]
+    entry_ok = (ex < span_x[:, None]) & (ey < span_y[:, None])
     tid = (ty0[:, None] + ey) * tiles_x + (tx0[:, None] + ex)
     tid = jnp.where(entry_ok, tid, num_tiles)                # sentinel tile
 
@@ -136,7 +142,13 @@ def tile_encode(
     flat_out = flat_out.at[dest].set(sorted_pay, mode="drop")
     tile_lists = flat_out.reshape(num_tiles, tile_cap)
     counts = jnp.minimum(starts[1:] - starts[:-1], tile_cap).astype(jnp.int32)
-    return tile_lists, counts
+    # splats that made it into >=1 tile list — capacity-dropped splats must
+    # not be judged "invisible" by the pruner (no reference analog: the CUDA
+    # rasterizer has unbounded tile lists)
+    binned = jnp.zeros((n + 1,), bool).at[
+        jnp.where(keep, sorted_pay, n)
+    ].set(True, mode="drop")[:n]
+    return tile_lists, counts, binned
 
 
 def rasterize_tiled(
@@ -169,7 +181,7 @@ def rasterize_tiled(
     if pix_delta is None:
         pix_delta = jnp.zeros((n, 2), means2d.dtype)
 
-    tile_lists, _ = tile_encode(
+    tile_lists, _, binned = tile_encode(
         means2d,
         radii,
         jax.lax.stop_gradient(depths),
@@ -183,13 +195,15 @@ def rasterize_tiled(
 
     # sentinel row N: zero opacity — contributes nothing
     pad = lambda x: jnp.concatenate([x, jnp.zeros((1,) + x.shape[1:], x.dtype)])
-    m2d_p = pad(means2d)
     M_p = jnp.concatenate(
         [M, jnp.eye(3, dtype=M.dtype)[None]], axis=0
     )  # identity avoids 0/0 in the uv solve
-    opa_p = pad(jnp.where(valid, opacities, 0.0))
-    feats_p = pad(jnp.concatenate([colors, normals], axis=-1))  # [N+1, 6]
-    pdel_p = pad(pix_delta)
+    coeffs = splat_coeffs(
+        pad(means2d), M_p, pad(jnp.where(valid, opacities, 0.0)),
+        pad(pix_delta),
+    )                                                     # [N+1, 15]
+    feats = pad(jnp.concatenate([colors, normals], axis=-1))  # [N+1, 6]
+    table = jnp.concatenate([coeffs, feats], axis=-1)     # [N+1, 21]
 
     # pad tile count to a multiple of tile_batch with sentinel-only tiles
     nb = _cdiv(num_tiles, tile_batch)
@@ -199,6 +213,13 @@ def rasterize_tiled(
             [tile_lists, jnp.full((pad_tiles, tile_cap), n, jnp.int32)]
         )
 
+    # ONE gather into tile-entry order; the scan then reads contiguous
+    # slices. (Per-step gathers were the bottleneck: XLA lowers scattered
+    # row gathers poorly on TPU, one fused gather is ~linear in bytes.)
+    entries = table[tile_lists.reshape(-1)].reshape(
+        nb, tile_batch, tile_cap, table.shape[-1]
+    )
+
     ts2 = tile_size * tile_size
     lx = jnp.arange(tile_size, dtype=jnp.float32)
     pix_dx = jnp.tile(lx, tile_size) + 0.5               # [ts2] within-tile x
@@ -207,34 +228,34 @@ def rasterize_tiled(
     tids_all = jnp.arange(nb * tile_batch, dtype=jnp.int32)
 
     @functools.partial(jax.checkpoint, prevent_cse=False)
-    def body(vis, tids):
-        idx = tile_lists[tids]                            # [B, C]
-        m2d = m2d_p[idx]                                  # [B, C, 2]
-        Ms = M_p[idx]
-        opa = opa_p[idx]
-        feats = feats_p[idx]
-        pdel = pdel_p[idx]
-
+    def body(_, args):
+        tids, ent = args                                  # ent [B, C, 21]
         tx = (tids % tiles_x).astype(jnp.float32) * tile_size
         ty = (tids // tiles_x).astype(jnp.float32) * tile_size
         px = tx[:, None] + pix_dx[None, :]                # [B, ts2]
         py = ty[:, None] + pix_dy[None, :]
 
-        alpha, depth = jax.vmap(splat_pixel_weights)(px, py, m2d, Ms, opa, pdel)
-        res = jax.vmap(composite)(alpha, feats, depth)
+        alpha, depth = jax.vmap(pixel_weights_from_coeffs)(
+            px, py, ent[..., :15]
+        )
+        res = jax.vmap(composite)(alpha, ent[..., 15:21], depth)
 
-        w = res["w"]                                      # [B, ts2, C]
-        wmax = jnp.max(w, axis=1)                         # [B, C]
-        vis = vis.at[idx.reshape(-1)].max(wmax.reshape(-1), mode="drop")
-
+        wmax = jnp.max(res["w"], axis=1)                  # [B, C]
         out = jnp.concatenate(
             [res["out"], res["alpha"], res["depth"], res["median"], res["distort"]],
             axis=-1,
         )  # [B, ts2, 10]
-        return vis, out
+        return 0, (out, wmax)
 
-    vis0 = jnp.zeros((n + 1,), dtype=means2d.dtype)
-    vis, outs = jax.lax.scan(body, vis0, tids_all.reshape(nb, tile_batch))
+    _, (outs, wmaxes) = jax.lax.scan(
+        body, 0, (tids_all.reshape(nb, tile_batch), entries)
+    )
+    # per-splat visibility: one segment-max over all tile entries
+    vis = (
+        jnp.zeros((n + 1,), dtype=means2d.dtype)
+        .at[tile_lists.reshape(-1)]
+        .max(wmaxes.reshape(-1), mode="drop")
+    )
     outs = outs.reshape(nb * tile_batch, ts2, -1)[:num_tiles]
 
     # [T, ts2, ch] -> [H, W, ch]
@@ -258,4 +279,5 @@ def rasterize_tiled(
         "median": img[..., 8:9],
         "distort": img[..., 9:10],
         "visibilities": vis[:n],
+        "binned": binned,
     }

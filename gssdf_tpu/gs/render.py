@@ -148,5 +148,6 @@ def render_splats(
         "samples": samples,
         "samples_w": samples_w,
         "visible": visible,
+        "binned": res["binned"],
         "radii": proj.radii,
     }

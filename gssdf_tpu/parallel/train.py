@@ -169,7 +169,7 @@ def make_multicam_gs_train_step(
                     )
                     gs_sdf_terms["gs_mask"] = m
                 meta = (render["radii"], render["visibilities"],
-                        render["visible"])
+                        render["visible"] & render["binned"])
                 return gs_loss, img_aux, gs_sdf_terms, meta
 
             gs_losses_b, img_aux_b, gs_sdf_b, meta_b = jax.vmap(per_cam)(

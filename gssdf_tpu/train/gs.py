@@ -282,7 +282,7 @@ def make_gs_train_step(
             out_meta = (
                 render["radii"],
                 render["visibilities"],
-                render["visible"],
+                render["visible"] & render["binned"],
             )
             return total, (aux, out_meta)
 

@@ -1,0 +1,657 @@
+"""Training orchestrator: data -> occupancy prior -> SDF phase -> joint GS
+phase -> mesh/render/eval exports.
+
+Reference analog: ``NeuralSLAM`` (include/neural_mapping/neural_mapping.{h,
+cpp}): batch_train (:814-875), build_occ_map (:683-812), nsdf_train
+(:294-354), gs_train (:356-531), render_image (:879-908), save_mesh
+(:1380-1402), export/load_checkpoint (:1331-1378), end (:1686-1758).
+
+Host-side schedule around fully-jitted steps; every array that matters lives
+on device, host work is logging + refine triggers.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import time
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config, save_pt_params
+from ..data.loader import DataLoader
+from ..fields.meshing import (
+    apply_vertex_mask,
+    cull_mesh_by_depth,
+    extract_mesh,
+)
+from ..fields.occupancy import (
+    OccupancyGrid,
+    build_occupancy_grid,
+    occupied_voxel_centers,
+)
+from ..fields.sdf_field import (
+    MapGeometry,
+    SDFFieldSpec,
+    init_sdf_field,
+)
+from ..gs.model import (
+    build_splat_model,
+    init_quats_opacity_with_sdf,
+    init_scales_from_knn,
+    sky_sphere_splats,
+)
+from ..gs.ply_io import export_gs_ply, import_gs_ply
+from ..gs.render import RenderSettings, render_splats
+from ..losses import psnr as psnr_fn
+from ..utils.llog import LLOG
+from ..utils.math import logit, random_quat
+from ..utils.ply import write_ply, write_ply_xyz
+from .gs import (
+    GSState,
+    GSTrainSpec,
+    GSTrainer,
+    RefineSpec,
+    gs_state_init,
+    sdf_lr_at,
+    splat_model,
+    xyz_lr_at,
+)
+from .optim import adam_init
+from .sdf import (
+    SDFTrainSpec,
+    make_sdf_train_step,
+    outlier_inlier_mask,
+    pick_ray_batch,
+)
+
+
+class Pipeline:
+    def __init__(self, cfg: Config, with_data: bool = True):
+        self.cfg = cfg
+        self.key = jax.random.PRNGKey(cfg.seed)
+        self.loader = DataLoader(cfg) if with_data else None
+        self.geom: Optional[MapGeometry] = None
+        self.grid: Optional[OccupancyGrid] = None
+        self.field_spec = SDFFieldSpec.from_config(cfg)
+        self.sdf_params = None
+        self.sdf_opt = None
+        self.gs_state: Optional[GSState] = None
+        self.gs_trainer: Optional[GSTrainer] = None
+        self.sample_std = cfg.sample_std
+        self.pack_dev = None           # device-resident ray pack dict
+        self.spatial_scale = 1.0
+        self._render_jit = jax.jit(
+            render_splats, static_argnames=("settings", "training", "center_reg")
+        )
+        self._frame_cache: Dict[int, tuple] = {}
+
+    # -- setup -------------------------------------------------------------
+
+    def _next_key(self):
+        self.key, k = jax.random.split(self.key)
+        return k
+
+    def build_occ_map(self):
+        """Point-cloud prior -> map geometry + occupancy grid
+        (build_occ_map, neural_mapping.cpp:683-812)."""
+        cfg = self.cfg
+        pack = self.loader.depth_pack()
+        xyz = pack.xyz
+        center = xyz.mean(0)
+        radius = float(np.max(np.linalg.norm(xyz - center, axis=-1)))
+        inner = cfg.map_size
+        if inner < radius * 2.0:
+            print(
+                f"Warning: configured map size {inner} < pcl diameter "
+                f"{radius * 2.0:.2f}; keeping configured size"
+            )
+        else:
+            inner = radius * 2.0
+        cfg.update_map_geometry(center, inner)
+        self.geom = MapGeometry(
+            origin=tuple(float(v) for v in center),
+            map_size=cfg.full_map_size,
+        )
+        self.spatial_scale = min(0.5 * cfg.inner_map_size, 2.0)
+
+        half = 0.5 * cfg.inner_map_size
+        inrange = np.all(np.abs(xyz - center) < half - 1e-6, axis=-1)
+        self.grid = build_occupancy_grid(
+            xyz[inrange], self.geom, cfg.map_resolution, dilate=True
+        )
+
+        if cfg.model_path:
+            write_ply_xyz(
+                Path(cfg.model_path) / "as_occ_prior.ply",
+                occupied_voxel_centers(self.grid),
+            )
+        # device-resident flattened ray pack
+        self.pack_dev = {
+            "origin": jnp.asarray(pack.origin),
+            "direction": jnp.asarray(pack.direction),
+            "depth": jnp.asarray(pack.depth),
+        }
+        self.sdf_params = init_sdf_field(self._next_key(), self.field_spec)
+        self.sdf_opt = adam_init(self.sdf_params)
+
+    def _sdf_spec(self) -> SDFTrainSpec:
+        return SDFTrainSpec.from_config(self.cfg, self.field_spec)
+
+    # -- SDF phase ---------------------------------------------------------
+
+    def nsdf_train(self, iters: Optional[int] = None, log_every: int = 10):
+        """Pure-SDF phase (nsdf_train, neural_mapping.cpp:294-354):
+        linear lr decay, adaptive sample_std from E[1/isigma], periodic
+        outlier removal."""
+        cfg = self.cfg
+        iters = iters if iters is not None else cfg.sdf_iter_step
+        spec = self._sdf_spec()
+        step = make_sdf_train_step(spec, self.geom, self.grid)
+        t_iter = LLOG.timer("sdf_iter")
+        log_path = (
+            Path(cfg.output_path) / "nsdf_log.txt" if cfg.output_path else None
+        )
+
+        for i in range(iters):
+            t_iter.tic()
+            lr = cfg.lr * (1 - i / iters) + cfg.lr_end * (i / iters)
+            k1, k2 = jax.random.split(self._next_key())
+            rays = pick_ray_batch(self.pack_dev, k1, spec.batch_rays)
+            self.sdf_params, self.sdf_opt, aux = step(
+                self.sdf_params, self.sdf_opt, *rays, k2,
+                self.sample_std, lr,
+            )
+            t_iter.toc_sum()
+
+            if i % log_every == 0 or i == iters - 1:
+                isig = float(aux["isigma_mean"])
+                # sdf_train_callback (neural_mapping.cpp:541-548)
+                self.sample_std = max(1.0 / max(isig, 1e-6), cfg.bce_sigma)
+                LLOG.record("loss", float(aux["loss"]))
+                LLOG.record("sdf", float(aux["sdf"]))
+                if "eik" in aux:
+                    LLOG.record("eik", float(aux["eik"]))
+                LLOG.record("sstd", self.sample_std)
+                LLOG.record("lr", lr)
+                if log_path:
+                    LLOG.flash(log_path)
+
+            if (
+                cfg.outlier_remove
+                and i > 0
+                and i % cfg.outlier_removal_interval == 0
+            ):
+                self._remove_outliers(i / iters)
+
+    def _remove_outliers(self, ratio: float):
+        """|sdf| outlier removal over the train pack
+        (sdf_train_callback, neural_mapping.cpp:559-589)."""
+        cfg = self.cfg
+        thresh = float(
+            np.exp(
+                np.log(cfg.truncated_dis) * (1 - ratio)
+                + np.log(cfg.outlier_dist) * ratio
+            )
+        )
+        xyz = (
+            self.pack_dev["origin"]
+            + self.pack_dev["direction"] * self.pack_dev["depth"]
+        )
+        mask = outlier_inlier_mask(
+            self.sdf_params, self.geom, self.field_spec, xyz, thresh
+        )
+        n0 = int(mask.shape[0])
+        idx = jnp.nonzero(mask)[0]
+        self.pack_dev = {k: v[idx] for k, v in self.pack_dev.items()}
+        print(f"Outlier removal({thresh:.3f}): {n0} -> {int(idx.shape[0])}")
+
+    # -- GS phase ----------------------------------------------------------
+
+    def init_gs(self):
+        """SDF-initialized splat model (NeuralGS ctor,
+        neural_gaussian.cpp:273-454)."""
+        cfg = self.cfg
+        mesh_res = 0.5 * cfg.leaf_size
+        sdf_on = cfg.sdf_weight > 0
+
+        verts = np.zeros((0, 3), np.float32)
+        if cfg.mesh_init and sdf_on:
+            verts, faces, _ = extract_mesh(
+                self.sdf_params, self.geom, self.field_spec, self.grid,
+                mesh_res, with_colors=False,
+            )
+            if len(verts) > cfg.vis_batch_pt_num:
+                step = max(len(verts) // cfg.vis_batch_pt_num, 1)
+                verts = verts[::step]
+        if len(verts) > 0:
+            anchors = jnp.asarray(verts)
+            scales = jnp.full((len(verts), 3), np.log(mesh_res), jnp.float32)
+        else:
+            if cfg.mesh_init and sdf_on:
+                print("mesh_init produced no vertices; falling back to points")
+            xyz = np.asarray(
+                self.pack_dev["origin"]
+                + self.pack_dev["direction"] * self.pack_dev["depth"]
+            )
+            step = max(int(len(xyz) / 1e6), 1)
+            anchors = jnp.asarray(xyz[::step])
+            scales = init_scales_from_knn(anchors)
+
+        n = anchors.shape[0]
+        if sdf_on and cfg.geo_init:
+            quats, opa = init_quats_opacity_with_sdf(
+                self.sdf_params, self.geom, self.field_spec, anchors, mesh_res
+            )
+            opa_logit = logit(jnp.clip(opa, 1e-4, 1 - 1e-4))
+        else:
+            quats = random_quat(self._next_key(), n)
+            opa_logit = jnp.full((n,), float(logit(0.1)), jnp.float32)
+
+        parts = [
+            {
+                "anchors": anchors,
+                "scales_log": scales,
+                "quats": quats,
+                "opacity_logit": opa_logit,
+            }
+        ]
+        if cfg.sky_init:
+            sky = sky_sphere_splats(
+                self._next_key(),
+                np.asarray(self.geom.origin),
+                cfg.inner_map_size,
+                0.5 * cfg.inner_map_size,
+            )
+            # sky radius defines far plane (neural_gaussian.cpp:347-349)
+            cfg.far = 2.0 * 0.6 * cfg.inner_map_size
+            parts.append(sky)
+
+        cat = {
+            k: jnp.concatenate([p[k] for p in parts]) for k in parts[0]
+        }
+        total = cat["anchors"].shape[0]
+        capacity = self.cfg.gs_capacity or _bucket_capacity(total)
+        model = build_splat_model(
+            self._next_key(),
+            cat["anchors"],
+            cat["scales_log"],
+            cat["quats"],
+            cat["opacity_logit"],
+            cfg.sh_degree,
+            capacity,
+        )
+        self.gs_state = gs_state_init(self.sdf_params, model)
+        print(
+            f"GS init: {total} splats (capacity {capacity}, "
+            f"{n} surface + {total - n} sky)"
+        )
+
+    def _gs_spec(self) -> GSTrainSpec:
+        cfg = self.cfg
+        cam = self.loader.camera
+        return GSTrainSpec(
+            sdf=self._sdf_spec(),
+            render=RenderSettings(
+                width=cam.width,
+                height=cam.height,
+                near=cfg.near,
+                far=cfg.far,
+                sh_degree=cfg.sh_degree,
+                tile_size=cfg.tile_size,
+                tile_cap=cfg.tile_cap,
+                bck_color=cfg.bck_color,
+            ),
+            refine=RefineSpec(
+                grow_grad2d=cfg.grow_grad2d,
+                grow_scale3d=cfg.grow_scale3d,
+                grow_scale2d=cfg.grow_scale2d,
+                prune_opa=cfg.prune_opa,
+                prune_scale3d=cfg.prune_scale3d,
+                refine_scale2d_stop_iter=cfg.refine_scale2d_stop_iter,
+                spatial_scale=self.spatial_scale,
+                original_spatial_scale=0.5 * cfg.inner_map_size,
+            ),
+            rgb_weight=cfg.rgb_weight,
+            dssim_weight=cfg.dssim_weight,
+            render_normal_weight=cfg.render_normal_weight,
+            isotropic_weight=cfg.isotropic_weight,
+            gs_sdf_weight=cfg.gs_sdf_weight,
+            visible_thr=cfg.visible_thr,
+            center_reg=cfg.center_reg,
+            detach_sdf_grad=cfg.detach_sdf_grad,
+            gs_sdf_reg=cfg.sdf_weight > 0,
+            sh_degree=cfg.sh_degree,
+            sh_degree_interval=cfg.sh_degree_interval,
+            refine_gs_struct_start_iter=cfg.refine_gs_struct_start_iter,
+            refine_start_iter=cfg.refine_start_iter,
+            refine_every=cfg.refine_every,
+            reset_every=cfg.reset_every,
+            refine_scale2d_stop_iter=cfg.refine_scale2d_stop_iter,
+            pause_refine_after_reset=(
+                self.loader.num_train if cfg.pause_refine else 0
+            ),
+            num_train_data=self.loader.num_train,
+            gs_iter_step=cfg.gs_iter_step,
+            lr=cfg.lr,
+            lr_end=cfg.lr_end,
+        )
+
+    def gs_train(self, iters: Optional[int] = None, log_every: int = 10):
+        """Joint phase (gs_train, neural_mapping.cpp:356-531)."""
+        cfg = self.cfg
+        iters = iters if iters is not None else cfg.gs_iter_step
+        spec = self._gs_spec()
+        self.gs_trainer = GSTrainer(spec, self.geom, self.grid, self.loader.camera)
+        trainer = self.gs_trainer
+        n_train = self.loader.num_train
+        log_path = (
+            Path(cfg.output_path) / "gs_log.txt" if cfg.output_path else None
+        )
+        t_iter = LLOG.timer("gs_iter")
+
+        # preload gt frames to host-pinned numpy once (preload flag)
+        perm = np.random.RandomState(cfg.seed).permutation(n_train)
+
+        for i in range(iters):
+            t_iter.tic()
+            if i % n_train == 0:
+                perm = np.random.RandomState(cfg.seed + i).permutation(n_train)
+            frame = int(perm[i % n_train])
+            gt, pose = self._cached_frame(frame)
+
+            xyz_lr = xyz_lr_at(spec, i)
+            sdf_lr = sdf_lr_at(spec, xyz_lr)
+            k1, k2 = jax.random.split(self._next_key())
+            rays = pick_ray_batch(self.pack_dev, k1, spec.sdf.batch_rays)
+            opt_struct = i > cfg.refine_gs_struct_start_iter
+            self.gs_state, aux = trainer.step_fn(
+                self.gs_state,
+                jnp.asarray(gt),
+                jnp.asarray(pose),
+                *rays,
+                k2,
+                self.sample_std,
+                sdf_lr,
+                xyz_lr,
+                trainer.sh_active(i),
+                opt_struct,
+            )
+            # keep the standalone sdf params view in sync
+            self.sdf_params = self.gs_state.params["sdf"]
+            self.gs_state, rinfo = trainer.callback(
+                self.gs_state, i, self._next_key()
+            )
+            t_iter.toc_sum()
+
+            if "isigma_mean" in aux and i % log_every == 0:
+                self.sample_std = max(
+                    1.0 / max(float(aux["isigma_mean"]), 1e-6), cfg.bce_sigma
+                )
+            if i % log_every == 0 or i == iters - 1 or rinfo:
+                LLOG.record("gs_loss", float(aux["gs_loss"]))
+                LLOG.record("color", float(aux["color"]))
+                LLOG.record("dssim", float(aux["dssim"]))
+                if "sdf_nn" in aux:
+                    LLOG.record("sdf_nn_loss", float(aux["sdf_nn"]))
+                if "gs_sdf" in aux:
+                    LLOG.record("gs_sdf", float(aux["gs_sdf"]))
+                LLOG.record("gs_num", int(jnp.sum(self.gs_state.alive)))
+                if log_path:
+                    LLOG.flash(log_path)
+
+            if cfg.export_interval > 0 and i % cfg.export_interval == 0:
+                p = self.export_test_image(cfg.test_idx, prefix=f"{i}_")
+                if p is not None:
+                    LLOG.record("psnr", p)
+
+    def _cached_frame(self, k: int, max_cache: int = 64):
+        """Decoded-frame cache: the reference preloads the whole color stack
+        (load_colors, base_parser.cpp:843-857); an LRU keeps host decode off
+        the train loop without pinning gigabytes."""
+        hit = self._frame_cache.get(k)
+        if hit is not None:
+            return hit
+        gt, pose = self.loader.train_frame(k)
+        if len(self._frame_cache) >= max_cache:
+            self._frame_cache.pop(next(iter(self._frame_cache)))
+        self._frame_cache[k] = (gt, pose)
+        return gt, pose
+
+    # -- rendering / export ------------------------------------------------
+
+    def render_settings(self, scale: float = 1.0) -> RenderSettings:
+        cam = self.loader.camera.scaled(scale) if self.loader else None
+        cfg = self.cfg
+        return RenderSettings(
+            width=cam.width,
+            height=cam.height,
+            near=cfg.near,
+            far=cfg.far,
+            sh_degree=cfg.sh_degree,
+            tile_size=cfg.tile_size,
+            tile_cap=cfg.tile_cap,
+            bck_color=cfg.bck_color,
+        )
+
+    def render_image(self, pose_c2w, scale: float = 1.0) -> Dict[str, np.ndarray]:
+        cam = self.loader.camera.scaled(scale)
+        out = self._render_jit(
+            splat_model(self.gs_state),
+            jnp.asarray(pose_c2w),
+            jnp.asarray(cam.K),
+            self.render_settings(scale),
+            training=False,
+        )
+        return {k: np.asarray(v) for k, v in out.items()
+                if k in ("color", "depth", "normal", "alpha", "median")}
+
+    def export_test_image(self, test_idx: int, prefix: str = ""):
+        """Mid-training image dump + PSNR (export_test_image,
+        neural_mapping.cpp:1202-1328)."""
+        if self.loader.num_train == 0:
+            return None
+        k = min(test_idx, self.loader.num_train - 1)
+        gt, pose = self.loader.train_frame(k)
+        out = self.render_image(pose)
+        p = float(psnr_fn(jnp.asarray(out["color"]), jnp.asarray(gt)))
+        if self.cfg.output_path:
+            d = Path(self.cfg.output_path) / "gs_log" / "mid" / "color"
+            d.mkdir(parents=True, exist_ok=True)
+            _save_image(d / f"{prefix}render.png", out["color"])
+        return p
+
+    def save_mesh(self, resolution: Optional[float] = None, save: bool = True):
+        """Mesh export (save_mesh, neural_mapping.cpp:1380-1402)."""
+        cfg = self.cfg
+        res = resolution or cfg.export_resolution
+        verts, faces, colors = extract_mesh(
+            self.sdf_params, self.geom, self.field_spec, self.grid, res
+        )
+        if cfg.cull_mesh and self.loader is not None and len(verts):
+            parser = self.loader.parser
+            depths = []
+            poses = []
+            for i in parser.train_ids:
+                poses.append(parser.depth_poses[i])
+                try:
+                    depths.append(
+                        parser.get_depth_image(i)
+                        if parser.depth_type == 0
+                        else None
+                    )
+                except Exception:
+                    depths.append(None)
+            keep = cull_mesh_by_depth(
+                verts, faces, self.loader.camera.K, np.asarray(poses),
+                depths, self.loader.camera.width, self.loader.camera.height,
+            )
+            verts, faces, colors = apply_vertex_mask(verts, faces, colors, keep)
+        if save and cfg.output_path:
+            out = Path(cfg.output_path) / "mesh"
+            out.mkdir(parents=True, exist_ok=True)
+            path = out / f"mesh_{res}.ply"
+            c8 = (np.clip(colors, 0, 1) * 255).astype(np.uint8)
+            write_ply(
+                path,
+                {
+                    "x": verts[:, 0], "y": verts[:, 1], "z": verts[:, 2],
+                    "red": c8[:, 0], "green": c8[:, 1], "blue": c8[:, 2],
+                },
+                faces=faces,
+            )
+            print(f"mesh: {len(verts)} verts / {len(faces)} faces -> {path}")
+        return verts, faces, colors
+
+    def render_path(self, split: str = "train", scale: float = 1.0):
+        """Offline render of the train/eval trajectory (render_path,
+        neural_mapping.cpp:1108-1200): writes renders/ + gt/ dirs for eval."""
+        cfg = self.cfg
+        base = Path(cfg.output_path) / "gs_log" / split
+        (base / "renders").mkdir(parents=True, exist_ok=True)
+        (base / "gt").mkdir(parents=True, exist_ok=True)
+        frames = (
+            range(self.loader.num_train)
+            if split == "train"
+            else None
+        )
+        if split == "train":
+            it = ((self.loader.train_frame(k)) for k in frames)
+        else:
+            it = self.loader.eval_frames()
+        n = 0
+        for k, (gt, pose) in enumerate(it):
+            out = self.render_image(pose, scale)
+            _save_image(base / "renders" / f"{k:05d}.png", out["color"])
+            _save_image(base / "gt" / f"{k:05d}.png", gt)
+            n += 1
+        return base if n else None
+
+    # -- checkpoint --------------------------------------------------------
+
+    def export_checkpoint(self):
+        """model/sdf_checkpoint.npz + model/gs.ply + pt.yaml
+        (export_checkpoint, neural_mapping.cpp:1331-1342)."""
+        cfg = self.cfg
+        if not cfg.model_path:
+            return
+        model_dir = Path(cfg.model_path)
+        model_dir.mkdir(parents=True, exist_ok=True)
+        flat = {}
+
+        def flatten(prefix, tree):
+            if isinstance(tree, dict):
+                for k, v in tree.items():
+                    flatten(f"{prefix}.{k}" if prefix else k, v)
+            elif isinstance(tree, (list, tuple)):
+                for j, v in enumerate(tree):
+                    flatten(f"{prefix}.{j}", v)
+            else:
+                flat[prefix] = np.asarray(tree)
+
+        flatten("", self.sdf_params)
+        np.savez(model_dir / "sdf_checkpoint.npz", **flat)
+        if self.gs_state is not None:
+            n = export_gs_ply(model_dir / "gs.ply", splat_model(self.gs_state))
+            print(f"exported {n} splats -> gs.ply")
+        save_pt_params(cfg, model_dir / "pt.yaml")
+
+    def load_checkpoint(self, model_dir):
+        """Rebuild fields from a run dir (load_checkpoint,
+        neural_mapping.cpp:1344-1378)."""
+        from ..config import load_pt_params
+        from ..utils.ply import read_ply_xyz
+
+        model_dir = Path(model_dir)
+        load_pt_params(self.cfg, model_dir / "pt.yaml")
+        cfg = self.cfg
+        self.geom = MapGeometry(
+            origin=tuple(cfg.map_origin), map_size=cfg.full_map_size
+        )
+        data = np.load(model_dir / "sdf_checkpoint.npz")
+
+        def unflatten(keys):
+            tree: Dict = {}
+            for k in keys:
+                parts = k.split(".")
+                node = tree
+                for p in parts[:-1]:
+                    node = node.setdefault(p, {})
+                node[parts[-1]] = jnp.asarray(data[k])
+            return tree
+
+        tree = unflatten(list(data.keys()))
+        # lists were flattened with int keys; restore decoder lists
+        dec = tree["decoder"]
+        tree["decoder"] = {
+            k: [v[str(i)] for i in range(len(v))] for k, v in dec.items()
+        } if all(isinstance(v, dict) for v in dec.values()) else dec
+        self.sdf_params = tree
+        self.sdf_opt = adam_init(self.sdf_params)
+
+        prior = model_dir / "as_occ_prior.ply"
+        if prior.exists():
+            pts = read_ply_xyz(prior)
+            self.grid = build_occupancy_grid(
+                pts, self.geom, cfg.map_resolution, dilate=False
+            )
+        gs_ply = model_dir / "gs.ply"
+        if gs_ply.exists():
+            model = import_gs_ply(gs_ply)
+            self.gs_state = gs_state_init(self.sdf_params, model)
+
+    # -- full run ----------------------------------------------------------
+
+    def batch_train(self):
+        """The end-to-end train flow (batch_train,
+        neural_mapping.cpp:814-875)."""
+        cfg = self.cfg
+        t0 = time.time()
+        self.build_occ_map()
+        if cfg.sdf_weight > 0:
+            self.nsdf_train()
+            self.export_checkpoint()
+        if cfg.rgb_weight > 0:
+            self.init_gs()
+            self.gs_train()
+        print(f"train took {time.time() - t0:.0f}s")
+        self.end()
+
+    def end(self):
+        """Final exports + eval (end, neural_mapping.cpp:1686-1758)."""
+        cfg = self.cfg
+        self.export_checkpoint()
+        if cfg.output_path:
+            LLOG.save_timing(Path(cfg.output_path) / "timing.txt")
+        if cfg.sdf_weight > 0:
+            self.save_mesh(cfg.export_resolution)
+        if self.gs_state is not None and cfg.output_path:
+            for split in ("train", "eval"):
+                base = self.render_path(split)
+                if base is not None:
+                    from ..eval.image_metrics import evaluate_dirs
+
+                    try:
+                        summary = evaluate_dirs(base)
+                        print(split, summary)
+                    except Exception as e:  # pragma: no cover
+                        print(f"eval {split} failed: {e}")
+
+
+def _bucket_capacity(n: int, mult: float = 4.0, quantum: int = 1 << 16) -> int:
+    """Static splat capacity: n * mult rounded up to the bucket quantum."""
+    want = int(n * mult)
+    return max(((want + quantum - 1) // quantum) * quantum, quantum)
+
+
+def _save_image(path, img: np.ndarray):
+    import cv2
+
+    arr = (np.clip(np.asarray(img), 0, 1) * 255).astype(np.uint8)
+    if arr.ndim == 3 and arr.shape[-1] == 3:
+        arr = cv2.cvtColor(arr, cv2.COLOR_RGB2BGR)
+    cv2.imwrite(str(path), arr)

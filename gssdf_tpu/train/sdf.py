@@ -187,6 +187,7 @@ def make_sdf_train_step(
     return step
 
 
+@functools.partial(jax.jit, static_argnames=("batch_rays",))
 def pick_ray_batch(pack: Dict[str, jnp.ndarray], key, batch_rays: int):
     """Uniform random ray rows from the (device-resident) depth ray pack
     (sdf_train_batch_iter, neural_mapping.cpp:144-156)."""

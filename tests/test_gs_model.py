@@ -152,7 +152,8 @@ def test_refine_prunes_low_opacity():
 def test_prune_invisible_and_reset_opacity():
     m = _toy_model(n=4, capacity=8)
     state = densify_state_init(8)._replace(
-        vis=jnp.zeros(8).at[:4].set(jnp.array([0.5, 0.0, 0.2, 0.0]))
+        vis=jnp.zeros(8).at[:4].set(jnp.array([0.5, 0.0, 0.2, 0.0])),
+        seen=jnp.zeros(8).at[:4].set(1.0),
     )
     mu = _zero_moments(m.params)
     nu = _zero_moments(m.params)

@@ -1,0 +1,165 @@
+"""End-to-end pipeline: synthetic RGB-D scene -> train -> mesh/render/eval.
+
+Mirrors the reference acceptance flow (SURVEY.md §4): the only 'test' the
+reference has is running the full system and checking metrics. Here: a tiny
+Replica-format dataset of a textured wall, a short batch_train, then assert
+the run dir contains checkpoint/mesh/renders and the renders beat a trivial
+PSNR bar.
+"""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from gssdf_tpu.config import Config, DatasetType, load_config
+
+
+def _make_dataset(root: Path, n_frames=6):
+    """Textured wall at z=3 viewed from jittered poses near origin."""
+    W, H = 1200, 680
+    fx = fy = 600.0
+    cx, cy = 599.5, 339.5
+    results = root / "results"
+    results.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+
+    ys, xs = np.meshgrid(np.arange(H) + 0.5, np.arange(W) + 0.5, indexing="ij")
+    with open(root / "traj.txt", "w") as f:
+        for i in range(n_frames):
+            pose = np.eye(4)
+            pose[0, 3] = 0.15 * (i - n_frames / 2) / n_frames
+            pose[1, 3] = 0.05 * rng.randn()
+            f.write(" ".join(map(str, pose.reshape(-1))) + "\n")
+
+            # z-depth of the plane z=3 in camera frame (camera axis-aligned)
+            z = 3.0 - 0.0
+            depth = np.full((H, W), z, np.float64)
+            # world xy of each pixel ray hitting the plane
+            wx = (xs - cx) / fx * z + pose[0, 3]
+            wy = (ys - cy) / fy * z + pose[1, 3]
+            # checkerboard texture in world space -> view-consistent colors
+            checker = ((np.floor(wx * 2) + np.floor(wy * 2)) % 2).astype(bool)
+            img = np.zeros((H, W, 3), np.uint8)
+            img[checker] = (40, 90, 200)
+            img[~checker] = (220, 180, 60)
+            cv2.imwrite(str(results / f"frame{i:06d}.jpg"), img)
+            cv2.imwrite(
+                str(results / f"depth{i:06d}.png"),
+                (depth * 6553.5).astype(np.uint16),
+            )
+
+
+@pytest.fixture(scope="module")
+def run_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("replica_scene")
+    _make_dataset(root)
+
+    cfg_dir = tmp_path_factory.mktemp("cfg")
+    (cfg_dir / "run.yaml").write_text(
+        """
+dataset_type: 0
+sdf_iter_step: 400
+gs_iter_step: 150
+leaf_sizes: 0.2
+max_pt_num: 4000
+gs_capacity: 8192
+map:
+  map_size: 8
+res_scale: 0.05
+ds_pt_num: 2000
+batch_pt_num: 2048
+n_levels: 4
+log2_hashmap_size: 14
+base_resolution: 8
+per_level_scale: 1.6
+hidden_dim: 32
+geo_num_layer: 2
+sh_degree: 0
+refine_start_iter: 10
+refine_every: 15
+reset_alpha_every: 1000
+export_interval: 999
+tile_cap: 1024
+sky_init: 0
+mesh_init: 1
+cull_mesh: 0
+export_resolution: 0.1
+vis_frame_step: 1000
+raymarch_max_hits: 4
+raymarch_max_steps: 128
+"""
+    )
+    out_root = tmp_path_factory.mktemp("out")
+    cfg = load_config(cfg_dir / "run.yaml", root, make_run_dir=False)
+    cfg.output_root = str(out_root)
+    cfg.output_path = str(out_root / "run")
+    cfg.model_path = str(out_root / "run" / "model")
+    Path(cfg.model_path).mkdir(parents=True)
+
+    from gssdf_tpu.train.pipeline import Pipeline
+
+    pipe = Pipeline(cfg)
+    pipe.batch_train()
+    return Path(cfg.output_path), pipe
+
+
+def test_checkpoint_written(run_dir):
+    out, pipe = run_dir
+    assert (out / "model" / "sdf_checkpoint.npz").exists()
+    assert (out / "model" / "gs.ply").exists()
+    assert (out / "model" / "pt.yaml").exists()
+    assert (out / "model" / "as_occ_prior.ply").exists()
+
+
+def test_mesh_written_and_planar(run_dir):
+    out, pipe = run_dir
+    meshes = list((out / "mesh").glob("*.ply"))
+    assert meshes
+    from gssdf_tpu.utils.ply import read_ply_xyz
+
+    verts = read_ply_xyz(meshes[0])
+    assert len(verts) > 50
+    # the scene is a wall at z=3: the mesh should hug it
+    frac_near = np.mean(np.abs(verts[:, 2] - 3.0) < 0.25)
+    assert frac_near > 0.6, frac_near
+
+
+def test_renders_and_eval(run_dir):
+    out, pipe = run_dir
+    renders = sorted((out / "gs_log" / "train" / "renders").glob("*.png"))
+    gts = sorted((out / "gs_log" / "train" / "gt").glob("*.png"))
+    assert len(renders) == len(gts) == 6
+    ev = out / "gs_log" / "render_eval.json"
+    assert ev.exists()
+    summary = list(json.load(open(ev)).values())[0]
+    # 150 GS iters on a checkerboard: beat a constant-image baseline
+    assert summary["PSNR"] > 10.0, summary
+    assert 0.0 <= summary["SSIM"] <= 1.0
+
+
+def test_checkpoint_roundtrip(run_dir):
+    out, pipe = run_dir
+    import jax.numpy as jnp
+
+    from gssdf_tpu.config import Config
+    from gssdf_tpu.fields.sdf_field import sdf_apply
+    from gssdf_tpu.train.pipeline import Pipeline
+
+    cfg2 = load_config(Path(pipe.cfg.config_path))
+    cfg2.leaf_size = pipe.cfg.leaf_size
+    pipe2 = Pipeline(cfg2, with_data=False)
+    pipe2.load_checkpoint(out / "model")
+
+    pts = jnp.asarray(
+        np.random.RandomState(0).uniform(-1, 1, (64, 3)).astype(np.float32)
+        + np.array([0, 0, 3.0], np.float32)
+    )
+    s1, _ = sdf_apply(pipe.sdf_params, pts, pipe.geom, pipe.field_spec)
+    s2, _ = sdf_apply(pipe2.sdf_params, pts, pipe2.geom, pipe2.field_spec)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-6)
+    # splats reloaded
+    assert int(jnp.sum(pipe2.gs_state.alive)) > 0

@@ -45,7 +45,7 @@ def _proj(means, quats, scales):
 def test_tile_encode_lists_are_front_to_back():
     means, quats, scales, opac, colors = _random_scene(40)
     p = _proj(means, quats, scales)
-    lists, counts = tile_encode(
+    lists, counts, binned = tile_encode(
         p.means2d, p.radii, p.depths, p.valid, W, H, 16, 64, 64
     )
     n = means.shape[0]
@@ -56,6 +56,8 @@ def test_tile_encode_lists_are_front_to_back():
         assert len(real) == int(counts[t])
         # front-to-back within the tile
         assert np.all(np.diff(d[real]) >= -1e-6)
+    # every valid splat landed in some tile at this capacity
+    assert np.asarray(binned)[np.asarray(p.valid)].all()
 
 
 @pytest.mark.parametrize("seed", [0, 3])
