@@ -117,6 +117,38 @@ def cmd_render(args):
     print(f"rendered {len(pf.poses)} frames -> {out_dir}")
 
 
+def cmd_convert_bag(args):
+    from .config import load_config
+    from .data.bag_convert import FASTLIVO_TOPICS, R3LIVE_TOPICS, convert_bag
+    from .data.loader import camera_from_config
+
+    cfg = load_config(args.config)
+    cam = camera_from_config(cfg)
+    if cam is None:
+        raise SystemExit("config must define camera intrinsics")
+    convert_bag(
+        args.bag,
+        args.out or Path(args.bag).with_suffix(""),
+        cam,
+        T_C_L=np.asarray(cfg.T_C_L) if cfg.T_C_L is not None else np.eye(4),
+        T_B_L=np.asarray(cfg.T_B_L) if cfg.T_B_L is not None else np.eye(4),
+        topics=R3LIVE_TOPICS if args.r3live else FASTLIVO_TOPICS,
+    )
+
+
+def cmd_export_colmap(args):
+    from .config import load_config
+    from .data.colmap_export import export_colmap
+    from .data.loader import DataLoader
+
+    cfg = load_config(args.config, args.data)
+    dl = DataLoader(cfg)
+    export_colmap(
+        dl.parser, bin=not args.txt, llff=args.llff,
+        nerfstudio=args.nerfstudio,
+    )
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="gssdf_tpu")
     sub = p.add_subparsers(dest="mode", required=True)
@@ -141,6 +173,21 @@ def main(argv=None):
     pr.add_argument("--fps", type=int, default=30)
     pr.add_argument("--out", default=None)
     pr.set_defaults(fn=cmd_render)
+
+    pb = sub.add_parser("convert-bag")
+    pb.add_argument("bag")
+    pb.add_argument("config")
+    pb.add_argument("--out", default=None)
+    pb.add_argument("--r3live", action="store_true")
+    pb.set_defaults(fn=cmd_convert_bag)
+
+    pe = sub.add_parser("export-colmap")
+    pe.add_argument("config")
+    pe.add_argument("data")
+    pe.add_argument("--txt", action="store_true")
+    pe.add_argument("--llff", action="store_true")
+    pe.add_argument("--nerfstudio", action="store_true")
+    pe.set_defaults(fn=cmd_export_colmap)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -260,6 +260,13 @@ def _apply(cfg: Config, data: dict) -> None:
         if key == "leaf_sizes":
             cfg.leaf_size = float(val)
             continue
+        if key == "extrinsic" and isinstance(val, dict):
+            # nested T_C_L / T_B_L matrices (config/fast_livo/campus.yaml:29-48)
+            if "T_C_L" in val:
+                cfg.T_C_L = val["T_C_L"]
+            if "T_B_L" in val:
+                cfg.T_B_L = val["T_B_L"]
+            continue
         name = _KEY_ALIASES.get(key, key)
         if name is None:
             continue

@@ -197,16 +197,28 @@ class BaseParser:
 
     def frame_rays(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
         """(distance [P, 1], world unit dirs [P, 3]) for raw frame ``idx``
-        (load_depths inner loop, base_parser.cpp:923-946)."""
+        (load_depths inner loop, base_parser.cpp:923-946). Uses the native
+        OpenMP library when built (gssdf_tpu.native), numpy otherwise."""
+        from .. import native
+
         pose = self.depth_poses[idx]
         rot = pose[:3, :3]
         if self.depth_type == DepthType.Image:
+            depth = self.get_depth_image(idx)
+            cam = self.camera
+            nat = native.depth_to_rays(
+                depth[..., 0], cam.fx, cam.fy, cam.cx, cam.cy, rot
+            )
+            if nat is not None:
+                return nat
             ndir, zn = self._camera_ndirs()
-            depth = self.get_depth_image(idx).reshape(-1, 1)
-            dist = depth * zn
+            dist = depth.reshape(-1, 1) * zn
             dirs = ndir @ rot.T
         else:
             pts = self.get_depth_image(idx)          # sensor frame
+            nat = native.points_to_rays(pts, rot)
+            if nat is not None:
+                return nat
             dist = np.linalg.norm(pts, axis=-1, keepdims=True)
             safe = np.where(dist > 1e-9, dist, 1.0)
             dirs = (pts / safe) @ rot.T

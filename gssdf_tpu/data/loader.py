@@ -21,6 +21,7 @@ from .parsers.exported_bag import ExportedBagParser
 from .parsers.kitti import KittiParser
 from .parsers.neuralrgbd import NeuralRGBDParser
 from .parsers.replica import ReplicaParser
+from .parsers.spires import SpiresParser
 
 
 def camera_from_config(cfg: Config) -> Optional[Camera]:
@@ -61,16 +62,43 @@ def make_parser(cfg: Config) -> BaseParser:
         return NeuralRGBDParser(path, **kw)
     if t == DatasetType.Kitti:
         return KittiParser(path, **kw)
-    if t in (DatasetType.Fastlivo, DatasetType.R3live, DatasetType.Spires):
+    if t in (DatasetType.Fastlivo, DatasetType.R3live):
         cam = camera_from_config(cfg) or (
             _R3LIVE_CAMERA if t == DatasetType.R3live else None
         )
         if cam is None:
             raise ValueError(
-                "dataset types Fastlivo/Spires need camera intrinsics in the"
-                " run config"
+                "dataset type Fastlivo needs camera intrinsics in the run"
+                " config"
             )
+        if str(path).endswith(".bag"):
+            # auto-export next to the bag (Rosbag ctor behavior,
+            # rosbag_parser.hpp:31-58)
+            from .bag_convert import FASTLIVO_TOPICS, R3LIVE_TOPICS, convert_bag
+
+            out = Path(path).with_suffix("")
+            if not (out / "color_poses.txt").exists():
+                convert_bag(
+                    path, out, cam,
+                    T_C_L=np.asarray(cfg.T_C_L) if cfg.T_C_L is not None else np.eye(4),
+                    T_B_L=np.asarray(cfg.T_B_L) if cfg.T_B_L is not None else np.eye(4),
+                    topics=R3LIVE_TOPICS if t == DatasetType.R3live else FASTLIVO_TOPICS,
+                )
+            path = out
         return ExportedBagParser(path, cam, **kw)
+    if t == DatasetType.Spires:
+        cam = camera_from_config(cfg)
+        if cam is None or cfg.T_C_L is None or cfg.T_B_L is None:
+            raise ValueError(
+                "dataset type Spires needs camera + T_C_L/T_B_L extrinsics"
+                " in the run config"
+            )
+        return SpiresParser(
+            path, cam, np.asarray(cfg.T_C_L), np.asarray(cfg.T_B_L),
+            max_time_diff_camera_and_pose=cfg.max_time_diff_camera_and_pose,
+            max_time_diff_lidar_and_pose=cfg.max_time_diff_lidar_and_pose,
+            **kw,
+        )
     if t == DatasetType.Colmap:
         cam = camera_from_config(cfg)
         return ColmapParser(path, camera=cam, **kw)

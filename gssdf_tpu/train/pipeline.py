@@ -96,6 +96,25 @@ class Pipeline:
         self.key, k = jax.random.split(self.key)
         return k
 
+    def prefilter_data(self):
+        """PSNR-dedup of near-identical consecutive frames: frame kept only
+        when PSNR vs the last kept frame is below the threshold
+        (prefilter_data, neural_mapping.cpp:595-669)."""
+        cfg = self.cfg
+        parser = self.loader.parser
+        ids = parser.train_ids
+        if len(ids) < 2:
+            return
+        kept = [ids[0]]
+        prev = jnp.asarray(parser.get_color_image(ids[0]))
+        for i in ids[1:]:
+            now = jnp.asarray(parser.get_color_image(i))
+            if float(psnr_fn(prev, now)) < cfg.prefilter:
+                kept.append(i)
+                prev = now
+        print(f"Prefilter: {len(ids)} -> {len(kept)} frames")
+        parser.train_ids = kept
+
     def build_occ_map(self):
         """Point-cloud prior -> map geometry + occupancy grid
         (build_occ_map, neural_mapping.cpp:683-812)."""
@@ -276,6 +295,19 @@ class Pipeline:
         }
         total = cat["anchors"].shape[0]
         capacity = self.cfg.gs_capacity or _bucket_capacity(total)
+        if total > (capacity * 3) // 4:
+            # explicit capacity is a hard cap: subsample the init set to 3/4
+            # so densification has headroom (no reference analog — the CUDA
+            # store grows unboundedly)
+            keep = (capacity * 3) // 4
+            sel = np.sort(
+                np.random.RandomState(self.cfg.seed).choice(
+                    total, keep, replace=False
+                )
+            )
+            cat = {k: v[sel] for k, v in cat.items()}
+            print(f"GS init: subsampled {total} -> {keep} (capacity {capacity})")
+            total = keep
         model = build_splat_model(
             self._next_key(),
             cat["anchors"],
@@ -286,10 +318,7 @@ class Pipeline:
             capacity,
         )
         self.gs_state = gs_state_init(self.sdf_params, model)
-        print(
-            f"GS init: {total} splats (capacity {capacity}, "
-            f"{n} surface + {total - n} sky)"
-        )
+        print(f"GS init: {total} splats (capacity {capacity})")
 
     def _gs_spec(self) -> GSTrainSpec:
         cfg = self.cfg
@@ -611,6 +640,8 @@ class Pipeline:
         neural_mapping.cpp:814-875)."""
         cfg = self.cfg
         t0 = time.time()
+        if cfg.prefilter > 0:
+            self.prefilter_data()
         self.build_occ_map()
         if cfg.sdf_weight > 0:
             self.nsdf_train()
@@ -634,12 +665,31 @@ class Pipeline:
                 base = self.render_path(split)
                 if base is not None:
                     from ..eval.image_metrics import evaluate_dirs
+                    from ..eval.tools import create_comparison_video
 
                     try:
                         summary = evaluate_dirs(base)
                         print(split, summary)
                     except Exception as e:  # pragma: no cover
                         print(f"eval {split} failed: {e}")
+                    try:
+                        create_comparison_video(
+                            base / "gt", base / "renders",
+                            base / "comparison.mp4", fps=cfg.fps,
+                        )
+                    except Exception as e:  # pragma: no cover
+                        print(f"comparison video {split} failed: {e}")
+        # loss-curve plots (draw_loss.py analog, misc_loop)
+        if cfg.output_path:
+            from ..eval.tools import plot_log
+
+            for name in ("nsdf_log.txt", "gs_log.txt"):
+                lp = Path(cfg.output_path) / name
+                if lp.exists():
+                    try:
+                        plot_log(lp)
+                    except Exception as e:  # pragma: no cover
+                        print(f"plot {name} failed: {e}")
 
 
 def _bucket_capacity(n: int, mult: float = 4.0, quantum: int = 1 << 16) -> int:

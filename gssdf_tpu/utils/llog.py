@@ -41,7 +41,7 @@ class Llog:
         self.values: Dict[str, float] = {}
         self._order: List[str] = []
         self._avg: Dict[str, List[float]] = {}
-        self._header_written: set = set()
+        self._file_columns: Dict = {}
 
     def timer(self, name: str) -> Timer:
         if name not in self.timers:
@@ -58,18 +58,22 @@ class Llog:
             self._avg.setdefault(name, []).append(float(value))
 
     def flash(self, path, n_digits: int = 3) -> str:
-        """Append one row; returns 'k1=v1 k2=v2 ...' for a progress bar."""
+        """Append one row; returns 'k1=v1 k2=v2 ...' for a progress bar.
+
+        The column set is frozen per file at header time — values recorded
+        for the first time later in the run do not widen existing logs."""
         path = Path(path)
-        if path not in self._header_written:
-            new_file = not path.exists()
-            if new_file:
+        cols = self._file_columns.get(path)
+        if cols is None:
+            cols = list(self._order)
+            self._file_columns[path] = cols
+            if not path.exists():
                 path.parent.mkdir(parents=True, exist_ok=True)
                 with open(path, "w") as f:
-                    f.write(" ".join(self._order) + "\n")
-            self._header_written.add(path)
+                    f.write(" ".join(cols) + "\n")
         with open(path, "a") as f:
             f.write(
-                " ".join(f"{self.values.get(k, 0.0):.6g}" for k in self._order)
+                " ".join(f"{self.values.get(k, 0.0):.6g}" for k in cols)
                 + "\n"
             )
         parts = []
@@ -81,7 +85,7 @@ class Llog:
         self.values.clear()
         self._order.clear()
         self._avg.clear()
-        self._header_written.clear()
+        self._file_columns.clear()
 
     def timing_summary(self) -> str:
         rows = [
