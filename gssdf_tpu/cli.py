@@ -29,7 +29,7 @@ def cmd_train(args):
     pipe.batch_train()
 
 
-def _load_run(run_dir: str):
+def _load_run(run_dir: str, with_data: bool = False):
     from .config import load_config
     from .train.pipeline import Pipeline
 
@@ -41,27 +41,83 @@ def _load_run(run_dir: str):
     cfg = load_config(cfgs[0])
     cfg.output_path = str(run)
     cfg.model_path = str(run / "model")
-    pipe = Pipeline(cfg, with_data=False)
+    has_data = with_data and cfg.dataset_path and Path(cfg.dataset_path).exists()
+    pipe = Pipeline(cfg, with_data=bool(has_data))
     pipe.load_checkpoint(run / "model")
     return pipe
 
 
 def cmd_view(args):
     """Keyboard loop (keyboard_loop, neural_mapping.cpp:1482-1684):
-    m=mesh, r=render pose file, q=quit."""
-    pipe = _load_run(args.run_dir)
-    print("commands: m <res> = save mesh; q = quit")
+      m [res]      save mesh at resolution
+      r            render train/eval paths + image eval
+      e            eval mesh vs gt (needs gt_mesh) + render eval
+      o            export checkpoint
+      i [idx]      export a test image + PSNR
+      u <poses>    render a custom pose file (type-0 4x4)
+      q            quit
+    """
+    pipe = _load_run(args.run_dir, with_data=True)
+    print(cmd_view.__doc__)
     for line in sys.stdin:
         tok = line.split()
         if not tok:
             continue
-        if tok[0] == "q":
-            break
-        if tok[0] == "m":
-            res = float(tok[1]) if len(tok) > 1 else pipe.cfg.export_resolution
-            pipe.save_mesh(res)
-        else:
-            print(f"unknown command {tok[0]}")
+        c = tok[0]
+        try:
+            if c == "q":
+                break
+            elif c == "m":
+                res = float(tok[1]) if len(tok) > 1 else pipe.cfg.export_resolution
+                pipe.save_mesh(res)
+            elif c == "o":
+                pipe.export_checkpoint()
+                print("checkpoint exported")
+            elif c == "i":
+                idx = int(tok[1]) if len(tok) > 1 else pipe.cfg.test_idx
+                p = pipe.export_test_image(idx)
+                print(f"test image PSNR: {p:.2f}")
+            elif c == "r":
+                from .eval.image_metrics import evaluate_dirs
+
+                for split in ("train", "eval"):
+                    base = pipe.render_path(split)
+                    if base is not None:
+                        print(split, evaluate_dirs(base))
+            elif c == "e":
+                verts, faces, _ = pipe.save_mesh(pipe.cfg.export_resolution)
+                gt = getattr(pipe.loader.parser, "gt_mesh_path", None)
+                if gt and Path(gt).exists():
+                    from .eval.mesh_metrics import eval_mesh
+                    from .utils.ply import read_ply_xyz
+
+                    m = eval_mesh(verts, faces, read_ply_xyz(gt))
+                    for k, v in m.items():
+                        print(f"  {k}: {v:.3f}")
+                else:
+                    print("no gt mesh available")
+            elif c == "u" and len(tok) > 1:
+                from .data.poses import load_poses
+
+                pf = load_poses(tok[1], pose_type=0)
+                out = Path(pipe.cfg.output_path) / "gs_log" / "path" / "color"
+                out.mkdir(parents=True, exist_ok=True)
+                for k, pose in enumerate(pf.poses):
+                    res = pipe.render_image(pose)
+                    import cv2
+
+                    cv2.imwrite(
+                        str(out / f"{k:05d}.png"),
+                        cv2.cvtColor(
+                            (np.clip(res["color"], 0, 1) * 255).astype(np.uint8),
+                            cv2.COLOR_RGB2BGR,
+                        ),
+                    )
+                print(f"rendered {len(pf.poses)} frames -> {out}")
+            else:
+                print(f"unknown command {c!r}")
+        except Exception as e:
+            print(f"command {c!r} failed: {e}")
 
 
 def cmd_render(args):

@@ -74,7 +74,11 @@ def extract_mesh(
             lo[0] + (xs0 + np.arange(xn)) * resolution, jnp.float32
         )
         sdf_grid, vm_grid = eval_slab(xs_j)
-        tri, mask = marching_tets(sdf_grid, 0.0)
+        # boundary-artifact suppression at extraction: cells touching
+        # unobserved space emit no triangles (replaces the reference's
+        # post-hoc 27-neighbor vertex filter, local_map.cpp:410-417, which
+        # is fragile when the surface grazes a voxel face)
+        tri, mask = marching_tets(sdf_grid, 0.0, corner_valid=vm_grid)
         verts, faces = compact_mesh(
             np.asarray(tri), np.asarray(mask),
             lower=(lo[0] + xs0 * resolution, lo[1], lo[2]),
@@ -82,20 +86,6 @@ def extract_mesh(
         )
         if len(verts) == 0:
             continue
-        # boundary-artifact filter: drop faces touching vertices whose
-        # 27-neighborhood isn't fully observed (local_map.cpp:410-417)
-        core_ok = np.asarray(
-            valid_mask(grid, jnp.asarray(verts), core=True)
-        )
-        keep_face = core_ok[faces].all(axis=1)
-        faces = faces[keep_face]
-        if len(faces) == 0:
-            continue
-        used = np.unique(faces)
-        remap = -np.ones(len(verts), np.int64)
-        remap[used] = np.arange(len(used))
-        verts = verts[used]
-        faces = remap[faces].astype(np.int32)
         all_verts.append(verts)
         all_faces.append(faces + n_verts)
         n_verts += len(verts)

@@ -103,12 +103,18 @@ _TRI_TABLE = _build_tet_tables()
 def marching_tets(
     density: jnp.ndarray,  # [X, Y, Z] sdf/density samples on the grid
     iso: float = 0.0,
+    corner_valid: jnp.ndarray | None = None,  # [X, Y, Z] bool observed mask
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Extract triangles (in grid coordinates) from a dense scalar field.
 
     Returns (tri_verts [T, 3, 3] float32, tri_mask [T] bool) with
     T = (X-1)(Y-1)(Z-1) * 12 fixed capacity (6 tets x 2 triangles). Vertices
     are linearly interpolated edge crossings; masked-out rows are zeros.
+
+    ``corner_valid`` suppresses cells with any unobserved corner — the
+    boundary-artifact filter done at extraction time (cleaner than the
+    reference's post-hoc 27-neighbor vertex filter, local_map.cpp:410-417,
+    which depends on voxel/surface alignment).
     """
     X, Y, Z = density.shape
     cx, cy, cz = X - 1, Y - 1, Z - 1
@@ -119,6 +125,12 @@ def marching_tets(
     base = jnp.stack([gx, gy, gz], -1).reshape(-1, 3)  # [C, 3]
     corners = base[:, None, :] + jnp.asarray(_CUBE_CORNERS)[None]  # [C, 8, 3]
     vals = density[corners[..., 0], corners[..., 1], corners[..., 2]]  # [C, 8]
+    cell_ok = None
+    if corner_valid is not None:
+        cell_ok = jnp.all(
+            corner_valid[corners[..., 0], corners[..., 1], corners[..., 2]],
+            axis=-1,
+        )  # [C]
 
     tets = jnp.asarray(_TETS)  # [6, 4]
     tet_vals = vals[:, tets]  # [C, 6, 4]
@@ -172,6 +184,8 @@ def marching_tets(
 
     tri = tri.reshape(-1, 3, 3)
     mask = valid.reshape(-1)
+    if cell_ok is not None:
+        mask = mask & jnp.repeat(cell_ok, 12)
     tri = jnp.where(mask[:, None, None], tri, 0.0)
     return tri, mask
 

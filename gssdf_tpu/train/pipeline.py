@@ -659,7 +659,23 @@ class Pipeline:
         if cfg.output_path:
             LLOG.save_timing(Path(cfg.output_path) / "timing.txt")
         if cfg.sdf_weight > 0:
-            self.save_mesh(cfg.export_resolution)
+            verts, faces, _ = self.save_mesh(cfg.export_resolution)
+            # mesh eval vs GT (eval_mesh, neural_mapping.cpp:1404-1433)
+            gt = getattr(self.loader.parser, "gt_mesh_path", None) \
+                if self.loader else None
+            if gt is not None and Path(gt).exists() and len(faces):
+                try:
+                    from ..eval.mesh_metrics import eval_mesh
+                    from ..utils.ply import read_ply_xyz
+
+                    metrics = eval_mesh(verts, faces, read_ply_xyz(gt))
+                    out = Path(cfg.output_path) / "structure_eval.json"
+                    with open(out, "w") as f:
+                        json.dump(metrics, f, indent=True)
+                    print("mesh eval:", {k: round(v, 3)
+                                          for k, v in metrics.items()})
+                except Exception as e:  # pragma: no cover
+                    print(f"mesh eval failed: {e}")
         if self.gs_state is not None and cfg.output_path:
             for split in ("train", "eval"):
                 base = self.render_path(split)
