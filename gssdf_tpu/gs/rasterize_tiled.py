@@ -129,24 +129,30 @@ def tile_encode(
     payload = jnp.broadcast_to(order[:, None], tid.shape).astype(jnp.int32)
     flat_tid = tid.reshape(-1)
     flat_pay = payload.reshape(-1)
+    e_total = flat_tid.shape[0]
     sorted_tid, sorted_pay = jax.lax.sort(
         (flat_tid, flat_pay), num_keys=1, is_stable=True
     )
 
+    # entries are now grouped by tile: tile t's run is
+    # [starts[t], starts[t+1]). The tile table is a SEGMENT GATHER of
+    # T*cap elements — no per-entry rank computation or 4M-element
+    # scatter (those dominated this function's cost on TPU).
     starts = jnp.searchsorted(sorted_tid, jnp.arange(num_tiles + 1), side="left")
-    rank = jnp.arange(flat_tid.shape[0], dtype=jnp.int32) - starts[sorted_tid]
-    keep = (sorted_tid < num_tiles) & (rank < tile_cap)
-
-    flat_out = jnp.full((num_tiles * tile_cap,), n, dtype=jnp.int32)
-    dest = jnp.where(keep, sorted_tid * tile_cap + rank, num_tiles * tile_cap)
-    flat_out = flat_out.at[dest].set(sorted_pay, mode="drop")
-    tile_lists = flat_out.reshape(num_tiles, tile_cap)
+    r_idx = jnp.arange(tile_cap, dtype=jnp.int32)
+    src = starts[:-1, None] + r_idx[None, :]              # [T, cap]
+    in_seg = src < starts[1:, None]
+    pay_pad = jnp.concatenate(
+        [sorted_pay, jnp.full((1,), n, jnp.int32)]
+    )
+    vals = pay_pad[jnp.minimum(src, e_total)]
+    tile_lists = jnp.where(in_seg, vals, n)
     counts = jnp.minimum(starts[1:] - starts[:-1], tile_cap).astype(jnp.int32)
     # splats that made it into >=1 tile list — capacity-dropped splats must
     # not be judged "invisible" by the pruner (no reference analog: the CUDA
     # rasterizer has unbounded tile lists)
     binned = jnp.zeros((n + 1,), bool).at[
-        jnp.where(keep, sorted_pay, n)
+        tile_lists.reshape(-1)
     ].set(True, mode="drop")[:n]
     return tile_lists, counts, binned
 
@@ -169,15 +175,31 @@ def rasterize_tiled(
     tile_batch: int = 16,
     pix_delta: Optional[jnp.ndarray] = None,
     background: Optional[jnp.ndarray] = None,
+    impl: str = "auto",
 ) -> Dict[str, jnp.ndarray]:
     """Full tiled render. Returns [H, W, .] images + per-splat visibilities.
 
     All shapes static; the only data-dependent work is the entry sort.
+    ``impl``: "auto" uses the fused Pallas composite kernel on TPU (when
+    tile_size == 16 and tile_cap % 128 == 0), the XLA scan otherwise;
+    "xla" / "pallas" force a path.
     """
     n = means2d.shape[0]
     tiles_x = _cdiv(width, tile_size)
     tiles_y = _cdiv(height, tile_size)
     num_tiles = tiles_x * tiles_y
+
+    pallas_ok = tile_size == 16 and tile_cap % 128 == 0
+    if impl == "auto":
+        use_pallas = pallas_ok and jax.default_backend() == "tpu"
+    elif impl == "pallas":
+        if not pallas_ok:
+            raise ValueError(
+                "pallas composite needs tile_size=16 and tile_cap % 128 == 0"
+            )
+        use_pallas = True
+    else:
+        use_pallas = False
     if pix_delta is None:
         pix_delta = jnp.zeros((n, 2), means2d.dtype)
 
@@ -205,58 +227,81 @@ def rasterize_tiled(
     feats = pad(jnp.concatenate([colors, normals], axis=-1))  # [N+1, 6]
     table = jnp.concatenate([coeffs, feats], axis=-1)     # [N+1, 21]
 
-    # pad tile count to a multiple of tile_batch with sentinel-only tiles
-    nb = _cdiv(num_tiles, tile_batch)
-    pad_tiles = nb * tile_batch - num_tiles
-    if pad_tiles:
-        tile_lists = jnp.concatenate(
-            [tile_lists, jnp.full((pad_tiles, tile_cap), n, jnp.int32)]
-        )
-
-    # ONE gather into tile-entry order; the scan then reads contiguous
-    # slices. (Per-step gathers were the bottleneck: XLA lowers scattered
-    # row gathers poorly on TPU, one fused gather is ~linear in bytes.)
-    entries = table[tile_lists.reshape(-1)].reshape(
-        nb, tile_batch, tile_cap, table.shape[-1]
-    )
-
     ts2 = tile_size * tile_size
-    lx = jnp.arange(tile_size, dtype=jnp.float32)
-    pix_dx = jnp.tile(lx, tile_size) + 0.5               # [ts2] within-tile x
-    pix_dy = jnp.repeat(lx, tile_size) + 0.5
+    if use_pallas:
+        from ..ops.pallas.raster import F_ROWS, tile_composite
 
-    tids_all = jnp.arange(nb * tile_batch, dtype=jnp.int32)
-
-    @functools.partial(jax.checkpoint, prevent_cse=False)
-    def body(_, args):
-        tids, ent = args                                  # ent [B, C, 21]
-        tx = (tids % tiles_x).astype(jnp.float32) * tile_size
-        ty = (tids // tiles_x).astype(jnp.float32) * tile_size
-        px = tx[:, None] + pix_dx[None, :]                # [B, ts2]
-        py = ty[:, None] + pix_dy[None, :]
-
-        alpha, depth = jax.vmap(pixel_weights_from_coeffs)(
-            px, py, ent[..., :15]
-        )
-        res = jax.vmap(composite)(alpha, ent[..., 15:21], depth)
-
-        wmax = jnp.max(res["w"], axis=1)                  # [B, C]
-        out = jnp.concatenate(
-            [res["out"], res["alpha"], res["depth"], res["median"], res["distort"]],
+        table24 = jnp.concatenate(
+            [table, jnp.zeros((n + 1, F_ROWS - table.shape[-1]), table.dtype)],
             axis=-1,
-        )  # [B, ts2, 10]
-        return 0, (out, wmax)
+        )
+        # ONE gather into [T, C, 24] then lane-major [T, 24, C]
+        entries_t = jnp.swapaxes(
+            table24[tile_lists.reshape(-1)].reshape(
+                num_tiles, tile_cap, F_ROWS
+            ),
+            -1, -2,
+        )
+        out_t, wm = tile_composite(entries_t, tiles_x, tile_size)
+        outs = jnp.swapaxes(out_t[:, :10, :], -1, -2)      # [T, ts2, 10]
+        vis = (
+            jnp.zeros((n + 1,), dtype=means2d.dtype)
+            .at[tile_lists.reshape(-1)]
+            .max(wm[:, 0, :].reshape(-1), mode="drop")
+        )
+    else:
+        # pad tile count to a multiple of tile_batch with sentinel-only tiles
+        nb = _cdiv(num_tiles, tile_batch)
+        pad_tiles = nb * tile_batch - num_tiles
+        if pad_tiles:
+            tile_lists = jnp.concatenate(
+                [tile_lists, jnp.full((pad_tiles, tile_cap), n, jnp.int32)]
+            )
 
-    _, (outs, wmaxes) = jax.lax.scan(
-        body, 0, (tids_all.reshape(nb, tile_batch), entries)
-    )
-    # per-splat visibility: one segment-max over all tile entries
-    vis = (
-        jnp.zeros((n + 1,), dtype=means2d.dtype)
-        .at[tile_lists.reshape(-1)]
-        .max(wmaxes.reshape(-1), mode="drop")
-    )
-    outs = outs.reshape(nb * tile_batch, ts2, -1)[:num_tiles]
+        # ONE gather into tile-entry order; the scan then reads contiguous
+        # slices. (Per-step gathers were the bottleneck: XLA lowers scattered
+        # row gathers poorly on TPU, one fused gather is ~linear in bytes.)
+        entries = table[tile_lists.reshape(-1)].reshape(
+            nb, tile_batch, tile_cap, table.shape[-1]
+        )
+
+        lx = jnp.arange(tile_size, dtype=jnp.float32)
+        pix_dx = jnp.tile(lx, tile_size) + 0.5           # [ts2] within-tile x
+        pix_dy = jnp.repeat(lx, tile_size) + 0.5
+
+        tids_all = jnp.arange(nb * tile_batch, dtype=jnp.int32)
+
+        @functools.partial(jax.checkpoint, prevent_cse=False)
+        def body(_, args):
+            tids, ent = args                              # ent [B, C, 21]
+            tx = (tids % tiles_x).astype(jnp.float32) * tile_size
+            ty = (tids // tiles_x).astype(jnp.float32) * tile_size
+            px = tx[:, None] + pix_dx[None, :]            # [B, ts2]
+            py = ty[:, None] + pix_dy[None, :]
+
+            alpha, depth = jax.vmap(pixel_weights_from_coeffs)(
+                px, py, ent[..., :15]
+            )
+            res = jax.vmap(composite)(alpha, ent[..., 15:21], depth)
+
+            wmax = jnp.max(res["w"], axis=1)              # [B, C]
+            out = jnp.concatenate(
+                [res["out"], res["alpha"], res["depth"], res["median"],
+                 res["distort"]],
+                axis=-1,
+            )  # [B, ts2, 10]
+            return 0, (out, wmax)
+
+        _, (outs, wmaxes) = jax.lax.scan(
+            body, 0, (tids_all.reshape(nb, tile_batch), entries)
+        )
+        # per-splat visibility: one segment-max over all tile entries
+        vis = (
+            jnp.zeros((n + 1,), dtype=means2d.dtype)
+            .at[tile_lists.reshape(-1)]
+            .max(wmaxes.reshape(-1), mode="drop")
+        )
+        outs = outs.reshape(nb * tile_batch, ts2, -1)[:num_tiles]
 
     # [T, ts2, ch] -> [H, W, ch]
     ch = outs.shape[-1]
