@@ -160,7 +160,7 @@ def _composite_fwd_pallas(entries_t: jnp.ndarray, tiles_x: int,
 
 
 def _composite_ref_jax(entries_t: jnp.ndarray, tiles_x: int, tile_size: int,
-                       tile_batch: int = 16):
+                       tile_batch: int = 16, remat: bool = True):
     """Pure-JAX reference with identical in/out layout (used for the custom
     VJP backward and for CPU fallback)."""
     t_tiles, f_rows, c = entries_t.shape
@@ -177,7 +177,6 @@ def _composite_ref_jax(entries_t: jnp.ndarray, tiles_x: int, tile_size: int,
         )
     tids = jnp.arange(nb * tile_batch, dtype=jnp.int32)
 
-    @functools.partial(jax.checkpoint, prevent_cse=False)
     def body(_, args):
         tid, e = args                                      # e [B, F, C]
         tx = (tid % tiles_x).astype(jnp.float32) * tile_size
@@ -198,8 +197,12 @@ def _composite_ref_jax(entries_t: jnp.ndarray, tiles_x: int, tile_size: int,
         wm = wm.at[:, 0].set(jnp.max(res["w"], axis=1))
         return 0, (out, wm)
 
+    body_fn = (
+        functools.partial(jax.checkpoint, prevent_cse=False)(body)
+        if remat else body
+    )
     _, (outs, wms) = jax.lax.scan(
-        body, 0,
+        body_fn, 0,
         (tids.reshape(nb, tile_batch),
          ent.reshape(nb, tile_batch, f_rows, c)),
     )
@@ -222,6 +225,8 @@ def _tc_fwd(entries_t, tiles_x, tile_size):
 
 
 def _tc_bwd(tiles_x, tile_size, entries_t, g):
+    # remat stays: without it XLA keeps ~20 scan-carry buffers of
+    # [nb, 16, P, C] alive (~18 GB at Replica scale)
     _, vjp = jax.vjp(
         lambda e: _composite_ref_jax(e, tiles_x, tile_size), entries_t
     )
