@@ -130,6 +130,7 @@ class Config:
     eikonal_weight: float = 1e-1
     curvate_weight: float = 0.0
     align_weight: float = 0.1
+    eikonal_sample_num: int = 8192
     outlier_removal_interval: int = 4000
     outlier_remove: bool = False
     outlier_dist: float = 0.05

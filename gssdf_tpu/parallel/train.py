@@ -100,7 +100,7 @@ def make_multicam_gs_train_step(
         sh_active: int, opt_struct: bool,
     ):
         b = gt_images.shape[0]
-        kr, ksamp = jax.random.split(key)
+        kr, ksamp, kreg = jax.random.split(key, 3)
         cam_keys = jax.random.split(kr, b)
         rsettings = spec.render._replace(sh_degree=sh_active)
 
@@ -133,7 +133,7 @@ def make_multicam_gs_train_step(
             sdf_nn_loss = 0.0
             if joint_sdf:
                 sdf_nn_loss, sdf_aux = sdf_losses(
-                    sdf_p, samples, geom, spec.sdf, sample_std
+                    sdf_p, samples, geom, spec.sdf, sample_std, kreg
                 )
                 aux["sdf_nn"] = sdf_nn_loss
                 aux["isigma_mean"] = sdf_aux["isigma_mean"]

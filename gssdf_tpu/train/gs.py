@@ -181,7 +181,7 @@ def make_gs_train_step(
         sh_active: int,
         opt_struct: bool,
     ):
-        krender, ksamp = jax.random.split(key)
+        krender, ksamp, kreg = jax.random.split(key, 3)
         rsettings = spec.render._replace(sh_degree=sh_active)
 
         joint_sdf = spec.gs_sdf_reg and not spec.detach_sdf_grad
@@ -220,7 +220,7 @@ def make_gs_train_step(
             sdf_nn_loss = 0.0
             if joint_sdf:
                 sdf_nn_loss, sdf_aux = sdf_losses(
-                    sdf_p, samples, geom, spec.sdf, sample_std
+                    sdf_p, samples, geom, spec.sdf, sample_std, kreg
                 )
                 aux["sdf_nn"] = sdf_nn_loss
                 aux["isigma_mean"] = sdf_aux["isigma_mean"]

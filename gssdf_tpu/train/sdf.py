@@ -48,6 +48,11 @@ class SDFTrainSpec:
     curvate_weight: float = 0.0
     align_weight: float = 0.1
     numerical_grad: bool = False
+    # eikonal/curvature run on a random subset: the double-backward through
+    # the hash table costs ~40 ns per (point, level, corner) scatter row on
+    # TPU, and a regularizer does not need every sample (TPU adaptation; the
+    # reference regularizes the full batch, neural_mapping.cpp:106-136)
+    eikonal_sample_num: int = 8192
 
     @classmethod
     def from_config(cls, cfg, field_spec: SDFFieldSpec) -> "SDFTrainSpec":
@@ -68,6 +73,7 @@ class SDFTrainSpec:
             curvate_weight=cfg.curvate_weight,
             align_weight=cfg.align_weight,
             numerical_grad=cfg.numerical_grad,
+            eikonal_sample_num=cfg.eikonal_sample_num,
         )
 
 
@@ -77,6 +83,7 @@ def sdf_losses(
     geom: MapGeometry,
     spec: SDFTrainSpec,
     sample_std,
+    reg_key=None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """BCE + eikonal (+curvature, +numeric/analytic alignment) on a masked
     SampleBatch. Shared by the pure-SDF phase and the joint GS phase."""
@@ -86,10 +93,15 @@ def sdf_losses(
     aux = {"sdf": l_bce, "isigma_mean": losses.masked_mean(isigma, samples.mask)}
 
     if spec.eikonal_weight > 0:
+        xyz_r, mask_r = samples.xyz, samples.mask
+        k = spec.eikonal_sample_num
+        if reg_key is not None and 0 < k < xyz_r.shape[0]:
+            sel = jax.random.randint(reg_key, (k,), 0, xyz_r.shape[0])
+            xyz_r, mask_r = xyz_r[sel], mask_r[sel]
         total = total + sdf_regularization(
             params,
-            samples.xyz,
-            samples.mask,
+            xyz_r,
+            mask_r,
             geom,
             spec,
             sample_std,
@@ -154,7 +166,7 @@ def make_sdf_train_step(
         sample_std,
         lr,
     ):
-        kidx, ksamp = jax.random.split(key)
+        kidx, ksamp, kreg = jax.random.split(key, 3)
         rays = RayBatch(
             origin=ray_origin,
             direction=ray_dir,
@@ -176,7 +188,7 @@ def make_sdf_train_step(
         )
 
         def loss_fn(p):
-            return sdf_losses(p, samples, geom, spec, sample_std)
+            return sdf_losses(p, samples, geom, spec, sample_std, kreg)
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         params2, opt2 = adam_update(grads, opt_state, params, lr)
