@@ -206,6 +206,10 @@ def cmd_export_colmap(args):
 
 
 def main(argv=None):
+    # crash tracer (reference vendors backward-cpp, neural_mapping_node.cpp:8-14)
+    import faulthandler
+
+    faulthandler.enable()
     p = argparse.ArgumentParser(prog="gssdf_tpu")
     sub = p.add_subparsers(dest="mode", required=True)
 

@@ -430,6 +430,11 @@ class Pipeline:
                 if "gs_sdf" in aux:
                     LLOG.record("gs_sdf", float(aux["gs_sdf"]))
                 LLOG.record("gs_num", int(jnp.sum(self.gs_state.alive)))
+                if i % (log_every * 50) == 0:
+                    from ..utils.llog import memory_stats
+
+                    for k, v in memory_stats().items():
+                        LLOG.record(k, v)
                 if log_path:
                     LLOG.flash(log_path)
 

@@ -101,4 +101,31 @@ class Llog:
             f.write(self.timing_summary() + "\n")
 
 
+def memory_stats() -> Dict[str, float]:
+    """Host RSS + device memory stats (utils.cpp:31-74 analog),
+    best-effort."""
+    out: Dict[str, float] = {}
+    try:
+        rss_kb = 0
+        with open("/proc/self/status") as f:
+            for ln in f:
+                if ln.startswith("VmRSS"):
+                    rss_kb = float(ln.split()[1])
+                    break
+        out["host_rss_gb"] = rss_kb / 1e6
+    except OSError:
+        pass
+    try:
+        import jax
+
+        st = jax.devices()[0].memory_stats() or {}
+        if "bytes_in_use" in st:
+            out["device_gb"] = st["bytes_in_use"] / 1e9
+        if "peak_bytes_in_use" in st:
+            out["device_peak_gb"] = st["peak_bytes_in_use"] / 1e9
+    except Exception:
+        pass
+    return out
+
+
 LLOG = Llog()
