@@ -9,6 +9,7 @@ default to sdf 1e-6), marching cubes, boundary-artifact filter via the
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -42,12 +43,15 @@ def extract_mesh(
 
     nx, ny, nz = [max(2, int(np.ceil((hi[i] - lo[i]) / resolution)) + 1)
                   for i in range(3)]
-    # bound per-slab cell count: marching_tets materializes 12 triangles
-    # per cell, so a fat slab would eat GBs (cell budget ~512k -> ~220 MB)
-    slab_voxels = int(max(2, min(slab_voxels, 1 + (1 << 19) // (ny * nz))))
+    # bound per-slab cell count: marching_tets materializes several
+    # [cells, 6, 6, 3] intermediates; 64k cells keeps the jitted slab
+    # under ~1 GB of HLO temps (2^19 OOM'd a 16 GB chip)
+    slab_voxels = int(max(2, min(slab_voxels, 1 + (1 << 16) // (ny * nz))))
 
     ys = lo[1] + np.arange(ny) * resolution
     zs = lo[2] + np.arange(nz) * resolution
+
+    march = jax.jit(functools.partial(marching_tets, iso=0.0))
 
     @jax.jit
     def eval_slab(xs_j):
@@ -78,7 +82,7 @@ def extract_mesh(
         # unobserved space emit no triangles (replaces the reference's
         # post-hoc 27-neighbor vertex filter, local_map.cpp:410-417, which
         # is fragile when the surface grazes a voxel face)
-        tri, mask = marching_tets(sdf_grid, 0.0, corner_valid=vm_grid)
+        tri, mask = march(sdf_grid, corner_valid=vm_grid)
         verts, faces = compact_mesh(
             np.asarray(tri), np.asarray(mask),
             lower=(lo[0] + xs0 * resolution, lo[1], lo[2]),

@@ -99,17 +99,22 @@ def splat_model(state: GSState) -> SplatModel:
     )
 
 
-def gs_lr_tree(spec: GSTrainSpec, sdf_params, sdf_lr, xyz_lr) -> Dict[str, Any]:
+def gs_lr_tree(spec: GSTrainSpec, sdf_params, sdf_lr, xyz_lr,
+               color_only: bool = False) -> Dict[str, Any]:
     """Per-leaf learning rates = the reference's Adam param groups
-    (neural_gaussian.cpp:434-453; SDF group tied at train_callback:610-623)."""
+    (neural_gaussian.cpp:434-453; SDF group tied at train_callback:610-623).
+    ``color_only``: structure frozen, feature lrs x10 (the color-init
+    pre-pass, gs_train, neural_mapping.cpp:369-387)."""
     sdf_lrs = jax.tree_util.tree_map(lambda _: sdf_lr, sdf_params)
+    boost = 10.0 if color_only else 1.0
+    freeze = 0.0 if color_only else 1.0
     gs = SplatParams(
-        offsets=xyz_lr,
-        scaling=5e-3,
-        quaternion=1e-3,
-        opacity=5e-2,
-        features_dc=2.5e-3,
-        features_rest=2.5e-3 / 20.0,
+        offsets=xyz_lr * freeze,
+        scaling=5e-3 * freeze,
+        quaternion=1e-3 * freeze,
+        opacity=5e-2 * freeze,
+        features_dc=2.5e-3 * boost,
+        features_rest=2.5e-3 / 20.0 * boost,
     )
     return {"sdf": sdf_lrs, "gs": gs}
 
@@ -166,7 +171,7 @@ def make_gs_train_step(
     sh_degree*, opt_struct*) — starred args static."""
     K = jnp.asarray(cam.K, jnp.float32)
 
-    @functools.partial(jax.jit, static_argnames=("sh_active", "opt_struct"))
+    @functools.partial(jax.jit, static_argnames=("sh_active", "opt_struct", "color_only"))
     def step(
         state: GSState,
         gt_image,
@@ -180,6 +185,7 @@ def make_gs_train_step(
         xyz_lr,
         sh_active: int,
         opt_struct: bool,
+        color_only: bool = False,
     ):
         krender, ksamp, kreg = jax.random.split(key, 3)
         rsettings = spec.render._replace(sh_degree=sh_active)
@@ -293,7 +299,7 @@ def make_gs_train_step(
         g_params, g_pixdelta = grads
         radii, visibilities, visible = meta
 
-        lr_tree = gs_lr_tree(spec, state.params["sdf"], sdf_lr, xyz_lr)
+        lr_tree = gs_lr_tree(spec, state.params["sdf"], sdf_lr, xyz_lr, color_only)
         params2, opt2 = adam_update(g_params, state.opt, state.params, lr_tree)
 
         dstate2 = update_densify_state(

@@ -383,6 +383,27 @@ class Pipeline:
         )
         t_iter = LLOG.timer("gs_iter")
 
+        # color-init pre-pass: one epoch, structure frozen, feature lrs x10
+        # (gs_train, neural_mapping.cpp:369-387)
+        if cfg.color_init:
+            r = spec.sdf.batch_rays
+            zero_rays = (
+                jnp.zeros((r, 3)),
+                jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (r, 1)),
+                jnp.full((r, 1), 1.0),
+            )
+            for i in range(n_train):
+                gt, pose = self._cached_frame(i)
+                k1, k2 = jax.random.split(self._next_key())
+                rays = pick_ray_batch(self.pack_dev, k1, spec.sdf.batch_rays)
+                self.gs_state, _aux = trainer.step_fn(
+                    self.gs_state, jnp.asarray(gt), jnp.asarray(pose),
+                    *rays, k2, self.sample_std, 0.0, 0.0, 0, False,
+                    True,
+                )
+            self.sdf_params = self.gs_state.params["sdf"]
+            print(f"color init: {n_train} iterations")
+
         # preload gt frames to host-pinned numpy once (preload flag)
         perm = np.random.RandomState(cfg.seed).permutation(n_train)
 

@@ -215,3 +215,30 @@ def test_trainer_callback_refines(scene):
     # all params still finite
     for leaf in jax.tree_util.tree_leaves(state.params):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_color_only_step_freezes_structure(scene):
+    """color_init pre-pass: structure params frozen, features move
+    (gs_train, neural_mapping.cpp:369-387)."""
+    import jax
+
+    gt, poses, gts = scene
+    spec = _spec(gs_sdf_reg=False, render_normal_weight=0.0)
+    geom = MapGeometry(origin=(0.0, 0.0, 2.0), map_size=4.0)
+    grid = build_occupancy_grid(np.asarray(gt.anchors), geom, 32)
+    trainer = GSTrainer(spec, geom, grid, CAM)
+    state = _init_state(scene, spec)
+
+    r = spec.sdf.batch_rays
+    rays = (jnp.zeros((r, 3)),
+            jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (r, 1)),
+            jnp.full((r, 1), 2.0))
+    state2, aux = trainer.step_fn(
+        state, gts[0], poses[0], *rays, jax.random.PRNGKey(0),
+        0.05, 0.0, 1.6e-3, 0, False, True,
+    )
+    p0, p1 = state.params["gs"], state2.params["gs"]
+    np.testing.assert_array_equal(np.asarray(p0.offsets), np.asarray(p1.offsets))
+    np.testing.assert_array_equal(np.asarray(p0.scaling), np.asarray(p1.scaling))
+    np.testing.assert_array_equal(np.asarray(p0.opacity), np.asarray(p1.opacity))
+    assert float(jnp.sum(jnp.abs(p1.features_dc - p0.features_dc))) > 0
