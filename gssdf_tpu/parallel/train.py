@@ -181,9 +181,14 @@ def make_multicam_gs_train_step(
                 aux["gs_sdf"] = jnp.mean(gs_sdf_b["gs_sdf"])
 
             # eikonal on gs samples from all cameras trains the SDF side
+            # (subsampled; full capacity x FD offsets OOMs)
             if spec.gs_sdf_reg and joint_sdf and spec.sdf.eikonal_weight > 0:
                 xs = gs_sdf_b["gs_samples"].reshape(-1, 3)
                 ms = gs_sdf_b["gs_mask"].reshape(-1)
+                kk = spec.sdf.eikonal_sample_num
+                if 0 < kk < xs.shape[0]:
+                    sel = jax.random.randint(kreg, (kk,), 0, xs.shape[0])
+                    xs, ms = xs[sel], ms[sel]
                 sdf_nn_loss = sdf_nn_loss + sdf_regularization(
                     sdf_p, xs, ms, geom, spec.sdf, sample_std,
                     curvate=False, aux=aux,

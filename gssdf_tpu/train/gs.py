@@ -271,11 +271,22 @@ def make_gs_train_step(
                     aux["gs_sdf"] = l_gs_sdf
                     aux["vis_n"] = jnp.sum(m)
                 if joint_sdf and spec.sdf.eikonal_weight > 0:
-                    # eikonal on (detached) gs samples trains the SDF side
+                    # eikonal on (detached) gs samples trains the SDF side;
+                    # subsampled like the ray-side regularizer (the FD align
+                    # term on full splat capacity OOMs: 6 offsets x 262k
+                    # points of hash features)
+                    xs = jax.lax.stop_gradient(render["samples"])
+                    ms = m
+                    kk = spec.sdf.eikonal_sample_num
+                    if 0 < kk < xs.shape[0]:
+                        sel = jax.random.randint(
+                            kreg, (kk,), 0, xs.shape[0]
+                        )
+                        xs, ms = xs[sel], ms[sel]
                     sdf_nn_loss = sdf_nn_loss + sdf_regularization(
                         sdf_p,
-                        jax.lax.stop_gradient(render["samples"]),
-                        m,
+                        xs,
+                        ms,
                         geom,
                         spec.sdf,
                         sample_std,
