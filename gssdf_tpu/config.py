@@ -343,6 +343,10 @@ def load_config(
         cfg_dir.mkdir(parents=True, exist_ok=True)
         for src, _ in chain:
             shutil.copy(src, cfg_dir / src.name)
+        # append dataset_path so view/render modes can reload the data
+        # (params.cpp:144-155 appends data_path the same way)
+        with open(cfg_dir / Path(cfg.config_path).name, "a") as f:
+            f.write(f"\ndataset_path: {cfg.dataset_path}\n")
     return cfg
 
 

@@ -110,7 +110,7 @@ def extract_mesh(
     return verts, faces, colors
 
 
-def _normal_colors(sdf_params, geom, spec, verts, delta, chunk=1 << 17):
+def _normal_colors(sdf_params, geom, spec, verts, delta, chunk=1 << 14):
     """Vertex colors = 0.5 * (normal + 1) (local_map.cpp:421-435)."""
     out = []
     fn = jax.jit(

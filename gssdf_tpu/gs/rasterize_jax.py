@@ -143,18 +143,18 @@ def composite(
 
     # log-space exclusive cumprod (alpha <= MAX_ALPHA so log is finite)
     log_one_m = jnp.log1p(-alpha)
-    cl_incl = jnp.dot(log_one_m, m_incl, preferred_element_type=jnp.float32)
+    cl_incl = jnp.dot(log_one_m, m_incl, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
     t_incl = jnp.exp(cl_incl)
     t_excl = jnp.exp(cl_incl - log_one_m)
     keep = t_incl >= T_EPS
     w = jnp.where(keep, t_excl * alpha, 0.0)  # [P, K]
 
-    out = jnp.dot(w, feats, preferred_element_type=jnp.float32)  # [P, C]
+    out = jnp.dot(w, feats, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)  # [P, C]
     acc = jnp.sum(w, axis=-1, keepdims=True)  # [P, 1]
     depth_mean = jnp.sum(w * depths, axis=-1, keepdims=True)
 
     # median depth: first splat where cumulative alpha crosses 0.5
-    cum_alpha = jnp.dot(w, m_incl, preferred_element_type=jnp.float32)
+    cum_alpha = jnp.dot(w, m_incl, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
     crossed = cum_alpha >= 0.5
     any_cross = jnp.any(crossed, axis=-1, keepdims=True)
     med_idx = jnp.argmax(crossed, axis=-1)
@@ -163,8 +163,8 @@ def composite(
 
     # distortion (2DGS): 2 * sum_i w_i (m_i * A_i - B_i), A/B exclusive sums
     m = depths
-    a_excl = jnp.dot(w, m_excl, preferred_element_type=jnp.float32)
-    b_excl = jnp.dot(w * m, m_excl, preferred_element_type=jnp.float32)
+    a_excl = jnp.dot(w, m_excl, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    b_excl = jnp.dot(w * m, m_excl, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
     distort = 2.0 * jnp.sum(w * (m * a_excl - b_excl), axis=-1, keepdims=True)
 
     return {

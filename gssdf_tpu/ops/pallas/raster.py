@@ -89,17 +89,17 @@ def _composite_kernel(ent_ref, out_ref, wmax_ref, *, tiles_x: int,
     u_excl = (r < cc).astype(jnp.float32)
 
     log_one_m = jnp.log1p(-alpha)
-    cl = jnp.dot(log_one_m, u_incl, preferred_element_type=jnp.float32)
+    cl = jnp.dot(log_one_m, u_incl, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
     t_in = jnp.exp(cl)
     t_ex = jnp.exp(cl - log_one_m)
     w = jnp.where(t_in >= T_EPS, t_ex * alpha, 0.0)      # [P, C]
 
     feats = ent[15:21]                                    # [6, C]
-    outc = jnp.dot(w, feats.T, preferred_element_type=jnp.float32)  # [P, 6]
+    outc = jnp.dot(w, feats.T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)  # [P, 6]
     acc = jnp.sum(w, axis=-1)                             # [P]
     dmean = jnp.sum(w * depth, axis=-1)
 
-    cum = jnp.dot(w, u_incl, preferred_element_type=jnp.float32)
+    cum = jnp.dot(w, u_incl, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
     crossed = (cum >= 0.5).astype(jnp.float32)
     first = crossed - jnp.concatenate(
         [jnp.zeros((p, 1), jnp.float32), crossed[:, :-1]], axis=-1
@@ -107,8 +107,8 @@ def _composite_kernel(ent_ref, out_ref, wmax_ref, *, tiles_x: int,
     first = jnp.maximum(first, 0.0)
     dmed = jnp.sum(depth * first, axis=-1)
 
-    a_ex = jnp.dot(w, u_excl, preferred_element_type=jnp.float32)
-    b_ex = jnp.dot(w * depth, u_excl, preferred_element_type=jnp.float32)
+    a_ex = jnp.dot(w, u_excl, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    b_ex = jnp.dot(w * depth, u_excl, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
     distort = 2.0 * jnp.sum(w * (depth * a_ex - b_ex), axis=-1)
 
     stacked = jnp.concatenate(

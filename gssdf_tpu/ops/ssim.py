@@ -38,6 +38,10 @@ def _depthwise_conv(img, window):
         padding="VALID",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         feature_group_count=c,
+        # f32 accumulation: TPU convs default to bf16 multiplies, which
+        # wrecks the variance terms (sigma = E[x^2] - E[x]^2 cancellation)
+        # badly enough to report SSIM > 1
+        precision=jax.lax.Precision.HIGHEST,
     )[0]
 
 
