@@ -85,3 +85,78 @@ def test_pallas_gradients_match_xla():
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), atol=1e-6, err_msg=name
         )
+
+
+def _entries_from_scene(n=60, seed=7, tile_cap=128, tile_expand=32):
+    """Realistic [T, 24, C] entry table via the production encode path."""
+    from gssdf_tpu.gs.rasterize_tiled import tile_encode
+    from gssdf_tpu.gs.rasterize_jax import splat_coeffs
+
+    means, quats, scales, opac, colors = _scene(n, seed)
+    p = project_2dgs(means, quats, scales, EYE4, K, W, H, 0.01, 100.0)
+    tiles_x = -(-W // 16)
+    tile_lists, _, _ = tile_encode(
+        p.means2d, p.radii, p.depths, p.valid, W, H, 16, tile_cap,
+        tile_expand,
+    )
+    pad = lambda x: jnp.concatenate(
+        [x, jnp.zeros((1,) + x.shape[1:], x.dtype)]
+    )
+    M_p = jnp.concatenate([p.M, jnp.eye(3)[None]], axis=0)
+    coeffs = splat_coeffs(
+        pad(p.means2d), M_p, pad(jnp.where(p.valid, opac, 0.0)),
+        jnp.zeros((n + 1, 2)),
+    )
+    feats = pad(jnp.concatenate([colors, p.normals], axis=-1))
+    table = jnp.concatenate([coeffs, feats], axis=-1)
+    table24 = jnp.concatenate(
+        [table, jnp.zeros((n + 1, R.F_ROWS - table.shape[-1]))], axis=-1
+    )
+    num_tiles = tile_lists.shape[0]
+    entries_t = jnp.swapaxes(
+        table24[tile_lists.reshape(-1)].reshape(num_tiles, tile_cap,
+                                                R.F_ROWS),
+        -1, -2,
+    )
+    return entries_t.astype(jnp.float32), tiles_x
+
+
+def test_analytic_backward_matches_autodiff():
+    """d_entries from the hand-derived backward == jax.vjp of the pure-JAX
+    reference, under random cotangents on EVERY output channel (incl. the
+    median and per-splat max-weight paths)."""
+    entries_t, tiles_x = _entries_from_scene()
+    t_tiles, _, c = entries_t.shape
+
+    out, vjp = jax.vjp(
+        lambda e: R._composite_ref_jax(e, tiles_x, 16), entries_t
+    )
+    kg = jax.random.PRNGKey(11)
+    k1, k2 = jax.random.split(kg)
+    g_out = jax.random.normal(k1, out[0].shape) * jnp.array(
+        [1, 1, 1, 1, 1, 1, 0.3, 0.3, 0.3, 0.1, 0, 0, 0, 0, 0, 0]
+    ).reshape(1, R.O_ROWS, 1)
+    g_wmax = jax.random.normal(k2, out[1].shape) * jnp.array(
+        [1.0, 0, 0, 0, 0, 0, 0, 0]
+    ).reshape(1, 8, 1)
+    (d_auto,) = vjp((g_out, g_wmax))
+
+    d_analytic = R.composite_bwd_reference(
+        entries_t, g_out, g_wmax, tiles_x, 16
+    )
+    # f32 summation-order differs (matmul-cumsum vs autodiff chain) and the
+    # near-edge-on coefficient gradients are ill-conditioned (inv_sz^2 ~ 1e18
+    # amplification) — both f32 paths carry ~1e-3 relative noise there. The
+    # end-to-end test above checks real-scale grads at 1e-6.
+    a, b = np.asarray(d_analytic), np.asarray(d_auto)
+    tol = 2e-3 * np.abs(b) + 1e-4 * max(np.abs(b).max(), 1.0)
+    bad = np.abs(a - b) > tol
+    assert not bad.any(), f"{bad.sum()} grad elements beyond tolerance"
+
+    # interpreter-mode Pallas kernel == the vmapped twin (same tolerance:
+    # the interpreter lowers the matmuls with different accumulation order)
+    d_pallas = R._composite_bwd_pallas(entries_t, g_out, g_wmax, tiles_x, 16)
+    p = np.asarray(d_pallas)
+    tol = 2e-3 * np.abs(a) + 1e-4 * max(np.abs(a).max(), 1.0)
+    bad = np.abs(p - a) > tol
+    assert not bad.any(), f"{bad.sum()} pallas-vs-twin elements beyond tol"
