@@ -58,6 +58,7 @@ class GSTrainSpec:
     center_reg: bool = False
     detach_sdf_grad: bool = False
     gs_sdf_reg: bool = True
+    depth_type: int = 0          # 0 expected (ED) depth, 1 median (k_depth_type)
     sh_degree: int = 0
     sh_degree_interval: int = 1000
     refine_gs_struct_start_iter: int = 3000
@@ -141,7 +142,8 @@ def gs_image_losses(
     aux["dssim"] = l_dssim
 
     if opt_struct and spec.render_normal_weight > 0:
-        depth = render["depth"] if True else render["median"]
+        # k_depth_type switch (neural_mapping.cpp:248-252)
+        depth = render["median"] if spec.depth_type == 1 else render["depth"]
         d_normal = depth_to_normal(cam, pose_c2w, depth)
         alpha = jax.lax.stop_gradient(render["alpha"])
         d_normal = d_normal * alpha
@@ -186,6 +188,7 @@ def make_gs_train_step(
         sh_active: int,
         opt_struct: bool,
         color_only: bool = False,
+        mask=None,
     ):
         krender, ksamp, kreg = jax.random.split(key, 3)
         rsettings = spec.render._replace(sh_degree=sh_active)
@@ -251,6 +254,7 @@ def make_gs_train_step(
                 pose_c2w,
                 spec,
                 opt_struct,
+                mask=mask,
             )
             aux.update(img_aux)
 

@@ -354,6 +354,7 @@ class Pipeline:
             center_reg=cfg.center_reg,
             detach_sdf_grad=cfg.detach_sdf_grad,
             gs_sdf_reg=cfg.sdf_weight > 0,
+            depth_type=cfg.depth_type,
             sh_degree=cfg.sh_degree,
             sh_degree_interval=cfg.sh_degree_interval,
             refine_gs_struct_start_iter=cfg.refine_gs_struct_start_iter,
@@ -430,6 +431,7 @@ class Pipeline:
                 xyz_lr,
                 trainer.sh_active(i),
                 opt_struct,
+                mask=self._train_mask(),
             )
             # keep the standalone sdf params view in sync
             self.sdf_params = self.gs_state.params["sdf"]
@@ -463,6 +465,27 @@ class Pipeline:
                 p = self.export_test_image(cfg.test_idx, prefix=f"{i}_")
                 if p is not None:
                     LLOG.record("psnr", p)
+
+    def _train_mask(self):
+        """Per-dataset image mask applied to the rgb/dssim losses
+        (neural_mapping.cpp:231-240; parsed at colmap_parser.hpp:110-112).
+        Device-cached; None when the dataset has no mask."""
+        if getattr(self, "_mask_dev", "unset") == "unset":
+            m = getattr(self.loader.parser, "mask", None)
+            if m is not None:
+                cam = self.loader.camera
+                m = np.asarray(m, np.float32)
+                if m.shape[:2] != (cam.height, cam.width):
+                    import cv2
+
+                    m = cv2.resize(
+                        m[..., 0], (cam.width, cam.height),
+                        interpolation=cv2.INTER_NEAREST,
+                    )[..., None]
+                self._mask_dev = jnp.asarray(m)
+            else:
+                self._mask_dev = None
+        return self._mask_dev
 
     def _cached_frame(self, k: int, max_cache: int = 64):
         """Decoded-frame cache: the reference preloads the whole color stack

@@ -242,3 +242,61 @@ def test_color_only_step_freezes_structure(scene):
     np.testing.assert_array_equal(np.asarray(p0.scaling), np.asarray(p1.scaling))
     np.testing.assert_array_equal(np.asarray(p0.opacity), np.asarray(p1.opacity))
     assert float(jnp.sum(jnp.abs(p1.features_dc - p0.features_dc))) > 0
+
+
+def test_image_mask_gates_rgb_losses(scene):
+    """The per-dataset image mask zeroes masked pixels out of the rgb/dssim
+    losses (neural_mapping.cpp:231-240)."""
+    gt, poses, gts = scene
+    spec = _spec(gs_sdf_reg=False, render_normal_weight=0.0,
+                 isotropic_weight=0.0)
+    geom = MapGeometry(origin=(0.0, 0.0, 2.0), map_size=4.0)
+    grid = build_occupancy_grid(np.asarray(gt.anchors), geom, 32)
+    trainer = GSTrainer(spec, geom, grid, CAM)
+    state = _init_state(scene, spec)
+    r = spec.sdf.batch_rays
+    rays = (jnp.zeros((r, 3)),
+            jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (r, 1)),
+            jnp.full((r, 1), 2.0))
+
+    # corrupt the left half of the gt image; mask it out
+    bad_gt = gts[0].at[:, : W // 2].set(5.0)
+    mask = jnp.ones((H, W, 1)).at[:, : W // 2].set(0.0)
+    key = jax.random.PRNGKey(0)
+
+    _, aux_clean = trainer.step_fn(
+        state, gts[0], poses[0], *rays, key, 0.05, 0.0, 0.0, 0, False)
+    _, aux_masked = trainer.step_fn(
+        state, bad_gt, poses[0], *rays, key, 0.05, 0.0, 0.0, 0, False,
+        mask=mask)
+    _, aux_bad = trainer.step_fn(
+        state, bad_gt, poses[0], *rays, key, 0.05, 0.0, 0.0, 0, False)
+
+    # corruption inflates the unmasked loss but not the masked one
+    assert float(aux_bad["color"]) > 5 * float(aux_clean["color"])
+    assert float(aux_masked["color"]) <= float(aux_clean["color"]) + 1e-5
+
+
+def test_depth_type_median_switch(scene):
+    """depth_type=1 feeds median depth into the normal-consistency loss
+    (k_depth_type, neural_mapping.cpp:248-252)."""
+    gt, poses, gts = scene
+    geom = MapGeometry(origin=(0.0, 0.0, 2.0), map_size=4.0)
+    grid = build_occupancy_grid(np.asarray(gt.anchors), geom, 32)
+    r_aux = {}
+    for dt in (0, 1):
+        spec = _spec(gs_sdf_reg=False, render_normal_weight=0.05,
+                     refine_gs_struct_start_iter=-1, depth_type=dt)
+        trainer = GSTrainer(spec, geom, grid, CAM)
+        state = _init_state(scene, spec)
+        rr = spec.sdf.batch_rays
+        rays = (jnp.zeros((rr, 3)),
+                jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (rr, 1)),
+                jnp.full((rr, 1), 2.0))
+        _, aux = trainer.step_fn(
+            state, gts[0], poses[0], *rays, jax.random.PRNGKey(1),
+            0.05, 0.0, 0.0, 0, True)
+        r_aux[dt] = float(aux["normal"])
+        assert np.isfinite(r_aux[dt])
+    # expected vs median depth produce different normal losses
+    assert r_aux[0] != r_aux[1]
