@@ -1,11 +1,17 @@
-"""Headline benchmark: differentiable 2DGS render throughput on one chip.
+"""Benchmarks on one chip, chained-iteration protocol.
 
-Measures forward+backward through the full tiled rasterization pipeline
-(project -> SH -> tile encode -> composite -> image losses -> grads) at a
-Replica-like operating point (1200x680, 128k splats), the hot path of GS
-training (SURVEY.md §3.3).
+Measures, at a Replica-like operating point (SURVEY.md §3.3/§6):
+  * differentiable 2DGS render forward+backward throughput (HEADLINE, last
+    line printed — splats rasterized/s through project -> SH -> tile encode
+    -> composite -> losses -> grads)
+  * render forward-only throughput
+  * SDF train step wall time (raymarch sample -> hash-grid field -> BCE +
+    eikonal -> backward -> Adam) and ray throughput
 
-Prints ONE JSON line: splats rasterized per second (fwd+bwd).
+Every timing loop is CHAINED: each iteration's output feeds the next
+iteration's input (CLAUDE.md: repeated identical executions are elided
+somewhere in the axon path, and XLA constant-folds unconsumed work).
+
 ``vs_baseline``: the reference publishes no numbers (BASELINE.md); the
 denominator is a nominal 1e8 splats/s CUDA-class figure (≈1M-splat scene at
 100 fps fwd+bwd) so the ratio is comparable across rounds.
@@ -17,11 +23,30 @@ import time
 import numpy as np
 
 
-def main():
+def _chain_timeit(fn, state, iters):
+    state = fn(state)
+    import jax
+
+    jax.block_until_ready(state)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state = fn(state)
+    jax.block_until_ready(state)
+    return (time.perf_counter() - t0) / iters
+
+
+def _emit(metric, value, unit, vs=None):
+    rec = {"metric": metric, "value": round(value, 1), "unit": unit}
+    if vs is not None:
+        rec["vs_baseline"] = round(vs, 4)
+    print(json.dumps(rec), flush=True)
+
+
+def bench_render():
     import jax
     import jax.numpy as jnp
 
-    from gssdf_tpu.gs.model import build_splat_model
+    from gssdf_tpu.gs.model import SplatModel, build_splat_model
     from gssdf_tpu.gs.render import RenderSettings, render_splats
     from gssdf_tpu.sensors.cameras import Camera
     from gssdf_tpu.utils.math import logit
@@ -57,37 +82,94 @@ def main():
     target = jnp.zeros((H, W, 3))
 
     def loss_fn(params):
-        from gssdf_tpu.gs.model import SplatModel
-
         m = SplatModel(params=params, anchors=model.anchors, alive=model.alive)
         out = render_splats(m, pose, K, settings, training=True)
         return jnp.mean(jnp.abs(out["color"] - target)) + 0.01 * jnp.mean(
             out["depth"]
         )
 
-    step = jax.jit(jax.grad(loss_fn))
-    g = step(model.params)
-    jax.block_until_ready(g)
+    grad_fn = jax.grad(loss_fn)
 
-    iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        g = step(model.params)
-    jax.block_until_ready(g)
-    dt = (time.perf_counter() - t0) / iters
+    @jax.jit
+    def step(params):
+        g = grad_fn(params)
+        # chain: tiny data-dependent update feeds the next iteration
+        return jax.tree.map(lambda p, gg: p - 1e-12 * gg, params, g)
 
-    splats_per_s = n / dt
-    baseline = 1e8
-    print(
-        json.dumps(
-            {
-                "metric": "gs_render_fwd_bwd_splats_per_s",
-                "value": round(splats_per_s, 1),
-                "unit": "splats/s",
-                "vs_baseline": round(splats_per_s / baseline, 4),
-            }
-        )
+    dt_fb = _chain_timeit(step, model.params, 20)
+
+    @jax.jit
+    def fwd(params):
+        m = SplatModel(params=params, anchors=model.anchors, alive=model.alive)
+        out = render_splats(m, pose, K, settings, training=True)
+        s = jnp.mean(out["color"]) + jnp.mean(out["depth"])
+        return jax.tree.map(lambda p: p + s * 1e-30, params)
+
+    dt_f = _chain_timeit(fwd, model.params, 20)
+
+    _emit("gs_render_fwd_ms", dt_f * 1e3, "ms")
+    _emit("gs_render_fwd_splats_per_s", n / dt_f, "splats/s")
+    return n, dt_fb
+
+
+def bench_sdf():
+    """SDF train step at the Replica operating point (batch_pt_num=32768)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gssdf_tpu.fields.occupancy import build_occupancy_grid
+    from gssdf_tpu.fields.sdf_field import (
+        MapGeometry,
+        SDFFieldSpec,
+        init_sdf_field,
     )
+    from gssdf_tpu.train.optim import adam_init
+    from gssdf_tpu.train.sdf import SDFTrainSpec, make_sdf_train_step
+
+    key = jax.random.PRNGKey(1)
+    field = SDFFieldSpec()
+    spec = SDFTrainSpec(
+        field=field,
+        batch_rays=32768 // 7,
+        truncated_dis=0.15,
+        inner_half_extent=4.0,
+    )
+    geom = MapGeometry(origin=(0.0, 0.0, 0.0), map_size=10.0)
+    k1, k2 = jax.random.split(key)
+    pts = np.asarray(
+        jax.random.uniform(k1, (100_000, 3), minval=-3.5, maxval=3.5)
+    )
+    grid = build_occupancy_grid(pts, geom, 256)
+    params = init_sdf_field(k2, field)
+    opt = adam_init(params)
+    step = make_sdf_train_step(spec, geom, grid)
+
+    r = spec.batch_rays
+    ko, kd = jax.random.split(key)
+    origin = jax.random.uniform(ko, (r, 3), minval=-0.5, maxval=0.5)
+    d = jax.random.normal(kd, (r, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    depth = jnp.full((r, 1), 3.0)
+
+    def one(carry):
+        params, opt, k = carry
+        k, sub = jax.random.split(k)
+        params, opt, aux = step(
+            params, opt, origin, d, depth, sub, 0.05, 1e-3
+        )
+        return (params, opt, k)
+
+    dt = _chain_timeit(one, (params, opt, key), 10)
+    _emit("sdf_step_ms", dt * 1e3, "ms")
+    _emit("sdf_rays_per_s", r / dt, "rays/s")
+
+
+def main():
+    bench_sdf()
+    n, dt_fb = bench_render()
+    baseline = 1e8
+    v = n / dt_fb
+    _emit("gs_render_fwd_bwd_splats_per_s", v, "splats/s", v / baseline)
 
 
 if __name__ == "__main__":

@@ -6,9 +6,10 @@ log2_hashmap_size=19, base_resolution=32, per_level_scale=2.0, linear interp.
 
 TPU-first design: one fused gather over a single [total_slots, F] table for
 all levels and all 8 trilinear corners; the backward pass (scatter-add into
-the table) falls out of JAX autodiff as an XLA scatter which TPU executes
-natively. Levels whose dense grid fits the hashmap budget use collision-free
-dense indexing (same policy as tcnn).
+the table) is a sort + windowed Pallas segment-sum (ops/pallas/segsum.py,
+~7.7 vs ~43 ns/row for XLA scatter on chip), wired as the gather's custom
+transpose so every autodiff order uses it. Levels whose dense grid fits the
+hashmap budget use collision-free dense indexing (same policy as tcnn).
 
 Technique source: Müller et al., "Instant Neural Graphics Primitives with a
 Multiresolution Hash Encoding" (arXiv:2201.05989).
@@ -22,6 +23,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from ..ops.pallas.segsum import table_gather
 
 # Spatial-hash primes from the InstantNGP paper.
 _PRIMES = (1, 2654435761, 805459861)
@@ -126,7 +129,11 @@ def hashgrid_encode(
 
     idx = jnp.stack(idx_all, axis=1)  # [N, L, 8]
     w = jnp.stack(w_all, axis=1)  # [N, L, 8]
-    feats = table[idx.reshape(x01.shape[0], -1)]  # [N, L*8, F]
+    # table_gather: XLA gather forward; transpose = windowed Pallas segment
+    # sum on TPU (every autodiff order — see ops/pallas/segsum.py)
+    feats = table_gather(table, idx.reshape(-1)).reshape(
+        x01.shape[0], idx.shape[1] * 8, spec.n_features_per_level
+    )  # [N, L*8, F]
     feats = feats.reshape(x01.shape[0], spec.n_levels, 8, spec.n_features_per_level)
     out = jnp.sum(feats * w[..., None], axis=2)  # [N, L, F]
     return out.reshape(x01.shape[0], spec.out_dim)

@@ -1,0 +1,435 @@
+"""Pallas TPU kernels: sorted windowed segment-sum and windowed gather.
+
+The TPU-native replacement for the two ops XLA lowers row-serially
+(~20-50 ns/row scatter-add, ~4-10 ns/row gather — measured on chip): the
+hash-grid feature-table gradient accumulation (reference: tcnn's fused grid
+backward, called via encoding_map.cpp:25-26) and the bulk feature gather of
+the encode forward.
+
+Key ideas (ARCHITECTURE.md):
+  * XLA's TPU sort is effectively free (radix-class, ~0.01 ns/row measured),
+    so both ops are restructured around *sorted* keys.
+  * Grid is OUTPUT-BLOCK-major: block b owns slots [b*BS, (b+1)*BS). The
+    sorted input rows belonging to the block form one contiguous run whose
+    bounds come from an XLA `searchsorted` (scalar-prefetched). DMA offsets
+    are chunk-aligned; rows dragged in from neighboring blocks are masked
+    (segment-sum) or merged from the existing output (gather), so shapes
+    and slices stay fully static/aligned for Mosaic.
+  * Everything is LANE-MAJOR: input rows live on the 128-lane axis ([chunk]
+    key vectors, [F, chunk] value tiles), one-hot planes come from
+    iota-vs-lane-vector compares, and the segment sum over a chunk is ONE
+    MXU contraction over lanes:
+        out[q, r*F+f] += dot(A_q[q_span, U], Y[rf, U], contract U)
+    with A_q[qi, u] = 1{q_u == qi} and Y[r*F+f, u] = 1{r_u == r} * v[f, u].
+    The gather is the transposed flow: rows = P @ ((table_block @ A) * rmask).
+  * The output table block is [q_span, RW*F]; slot-major [S, F] is the same
+    row-major order, so the final reshape is free.
+
+All kernels have pure-JAX twins (CPU fallback + parity tests).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INTERPRET = False  # interpreter mode for CPU tests
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+# ---------------------------------------------------------------------------
+# sorted windowed segment-sum
+# ---------------------------------------------------------------------------
+
+
+def _segsum_kernel(
+    starts_ref,            # [nblocks+1] scalar-prefetch int32
+    pack_ref,              # [PR, R_pad] int32 HBM: row 0 = keys, rows
+                           # 1..F = bit-cast f32 values, rest zero-pad (PR =
+                           # sublane tile multiple for legal full-dim0
+                           # slices; int32 container avoids f32 denormal
+                           # canonicalization of key bit patterns)
+    out_ref,               # [q_span, RW*F] VMEM block
+    pscr, sems,            # [2, 1+F, chunk] double-buffered stream scratch
+    *,
+    block_slots: int,
+    chunk: int,
+    r_width: int,
+    feat: int,
+):
+    b = pl.program_id(0)
+    # chunk-align the run start: rows before `start` belong to earlier
+    # blocks and are masked by row_ok, so over-reading is harmless — and
+    # aligned offsets satisfy Mosaic's tiling divisibility checks.
+    start = (starts_ref[b] // chunk) * chunk
+    end = starts_ref[b + 1]
+    n = jnp.maximum(end - start, 0)
+    nchunks = jax.lax.div(n + chunk - 1, chunk)
+
+    q_span = block_slots // r_width
+    rf = r_width * feat
+    base = b * block_slots
+
+    out_ref[:] = jnp.zeros_like(out_ref)
+
+    iota_q = jax.lax.broadcasted_iota(jnp.int32, (q_span, chunk), 0)
+    iota_j = jax.lax.broadcasted_iota(jnp.int32, (rf, chunk), 0)
+    iota_r = iota_j // feat        # r index of each (r, f) output row
+
+    def dma(slot, s):
+        return pltpu.make_async_copy(
+            pack_ref.at[:, pl.ds(start + s * chunk, chunk)],
+            pscr.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(nchunks > 0)
+    def _():
+        dma(0, 0).start()
+
+    def body(s, _):
+        slot = jax.lax.rem(s, 2)
+        nxt = jax.lax.rem(s + 1, 2)
+
+        @pl.when(s + 1 < nchunks)
+        def _():
+            dma(nxt, s + 1).start()
+
+        dma(slot, s).wait()
+
+        pk = pscr[slot]                                # [PR, chunk] int32
+        k = pk[0:1, :] - base
+        row_ok = (k >= 0) & (k < block_slots)   # neighbors' rows -> masked
+        q = jnp.where(row_ok, k // r_width, -1)   # [1, U]
+        r = jnp.where(row_ok, k % r_width, -1)
+
+        A = (q == iota_q).astype(jnp.float32)          # [q_span, U]
+        rmask = (r == iota_r).astype(jnp.float32)      # [rf, U]
+        vals_f = pltpu.bitcast(pk[1:1 + feat], jnp.float32)
+        vt = jnp.tile(vals_f, (r_width, 1))            # [rf, U] row j -> f=j%F
+        Y = rmask * vt
+
+        out_ref[:] += jax.lax.dot_general(
+            A, Y, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_HI,
+        )                                               # [q_span, rf]
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, body, 0)
+
+
+def sorted_segment_sum_pallas(
+    keys_sorted: jnp.ndarray,   # [R] int32 ascending (sentinels >= num_slots)
+    vals_sorted: jnp.ndarray,   # [F, R] f32 feature-major
+    num_slots: int,
+    *,
+    block_slots: int = 4096,
+    chunk: int = 2048,
+    r_width: int = 128,
+) -> jnp.ndarray:
+    """Exact segment sum of sorted rows -> [num_slots, F] table."""
+    feat = vals_sorted.shape[0]
+    assert block_slots % r_width == 0
+    s_pad = _round_up(max(num_slots, block_slots), block_slots)
+    nblocks = s_pad // block_slots
+    q_span = block_slots // r_width
+    rf = r_width * feat
+
+    r = keys_sorted.shape[0]
+    r_pad = _round_up(r, chunk) + chunk     # slack so chunk DMA never OOB
+    keys_p = jnp.full((r_pad,), s_pad, jnp.int32).at[:r].set(keys_sorted)
+    vals_p = jnp.zeros((feat, r_pad), jnp.float32).at[:, :r].set(vals_sorted)
+    # one packed int32 stream: row 0 = keys, rows 1..F = bit-cast values;
+    # sublane dim padded to the tile (4 or 8) for legal full-dim0 slices
+    pack_rows = 4 if feat + 1 <= 4 else 8
+    pack = jnp.concatenate(
+        [keys_p[None], jax.lax.bitcast_convert_type(vals_p, jnp.int32)]
+        + [jnp.zeros((pack_rows - feat - 1, r_pad), jnp.int32)]
+    )
+
+    starts = jnp.searchsorted(
+        keys_p[:r], jnp.arange(nblocks + 1, dtype=jnp.int32) * block_slots
+    ).astype(jnp.int32)
+
+    kernel = functools.partial(
+        _segsum_kernel,
+        block_slots=block_slots,
+        chunk=chunk,
+        r_width=r_width,
+        feat=feat,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nblocks,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.HBM),
+            ],
+            out_specs=pl.BlockSpec(
+                (q_span, rf), lambda b, starts: (b, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, 4 if feat + 1 <= 4 else 8, chunk),
+                           jnp.int32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((nblocks * q_span, rf), jnp.float32),
+        interpret=_INTERPRET,
+    )(starts, pack)
+    # [S/RW, RW*F] row-major == [S, F] row-major: free reshape
+    return out.reshape(s_pad, feat)[:num_slots]
+
+
+def segment_sum_ref(keys, vals, num_slots):
+    """Pure-JAX twin (CPU fallback / parity). vals row-major [R, F]."""
+    return (
+        jnp.zeros((num_slots + 1, vals.shape[-1]), vals.dtype)
+        .at[jnp.minimum(keys, num_slots)]
+        .add(vals)[:num_slots]
+    )
+
+
+def segment_sum(keys, vals, num_slots, **kw):
+    """Unsorted keys + row-major vals [R, F] -> [num_slots, F]; rows with
+    key >= num_slots are dropped. TPU: free XLA sort + windowed Pallas
+    kernel; elsewhere: XLA scatter."""
+    if jax.default_backend() != "tpu":
+        return segment_sum_ref(keys, vals, num_slots)
+    ops = (keys.astype(jnp.int32),) + tuple(
+        vals[:, i] for i in range(vals.shape[-1])
+    )
+    sk, *sv = jax.lax.sort(ops, num_keys=1)
+    return sorted_segment_sum_pallas(
+        sk, jnp.stack(sv, axis=0), num_slots, **kw
+    )
+
+
+# ---------------------------------------------------------------------------
+# sorted windowed gather
+# ---------------------------------------------------------------------------
+
+
+def _gather_kernel(
+    starts_ref,            # [nblocks+1] scalar-prefetch
+    keys_ref,              # [R_pad] HBM (sorted)
+    tblock_ref,            # [RW*F, q_span] VMEM block (transposed table)
+    out_ref,               # [F, R_pad] HBM (feature-major, merge-RMW writes)
+    kscr, oscr, wscr, ksems, osems, wsems,
+    *,
+    block_slots: int,
+    chunk: int,
+    r_width: int,
+    feat: int,
+):
+    b = pl.program_id(0)
+    start = (starts_ref[b] // chunk) * chunk
+    end = starts_ref[b + 1]
+    n = jnp.maximum(end - start, 0)
+    nchunks = jax.lax.div(n + chunk - 1, chunk)
+
+    q_span = block_slots // r_width
+    rf = r_width * feat
+    base = b * block_slots
+
+    iota_q = jax.lax.broadcasted_iota(jnp.int32, (q_span, chunk), 0)
+    iota_j = jax.lax.broadcasted_iota(jnp.int32, (rf, chunk), 0)
+    iota_r = iota_j // feat
+    # P[f, j] = 1{j % F == f}: folds the strided (r, f) sum into a matmul
+    pj = jax.lax.broadcasted_iota(jnp.int32, (feat, rf), 1)
+    pf = jax.lax.broadcasted_iota(jnp.int32, (feat, rf), 0)
+    P = (pj % feat == pf).astype(jnp.float32)
+
+    def kdma(slot, s):
+        return pltpu.make_async_copy(
+            keys_ref.at[:, pl.ds(start + s * chunk, chunk)],
+            kscr.at[slot], ksems.at[slot],
+        )
+
+    def odma(slot, s):
+        return pltpu.make_async_copy(
+            out_ref.at[:, pl.ds(start + s * chunk, chunk)],
+            oscr.at[slot], osems.at[slot],
+        )
+
+    def wdma(slot, s):
+        return pltpu.make_async_copy(
+            wscr.at[slot],
+            out_ref.at[:, pl.ds(start + s * chunk, chunk)], wsems.at[slot],
+        )
+
+    @pl.when(nchunks > 0)
+    def _():
+        kdma(0, 0).start()
+        odma(0, 0).start()
+
+    def body(s, _):
+        slot = jax.lax.rem(s, 2)
+        nxt = jax.lax.rem(s + 1, 2)
+
+        # the in-merge read of chunk s+1 must not race the write of chunk
+        # s-1 into the same scratch slot; chunk ranges are disjoint so the
+        # HBM read/write ranges never overlap
+        @pl.when(s + 1 < nchunks)
+        def _():
+            kdma(nxt, s + 1).start()
+            odma(nxt, s + 1).start()
+
+        kdma(slot, s).wait()
+        odma(slot, s).wait()
+
+        k = kscr[slot] - base                           # [1, U]
+        row_ok = (k >= 0) & (k < block_slots)
+        q = jnp.where(row_ok, k // r_width, -1)
+        r = jnp.where(row_ok, k % r_width, -1)
+
+        A = (q == iota_q).astype(jnp.float32)           # [q_span, U]
+        M1 = jax.lax.dot_general(
+            tblock_ref[:], A, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_HI,
+        )                                               # [rf, U]
+        rmask = (r == iota_r).astype(jnp.float32)
+        got = jax.lax.dot_general(
+            P, M1 * rmask, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_HI,
+        )                                               # [F, U]
+        # merge: rows outside this block keep their previously-written value
+        # (grid is sequential; boundary rows were written by block b-1, and
+        # trailing rows will be overwritten by the owning later block)
+        okf = jnp.broadcast_to(row_ok, got.shape)
+
+        # wait for the write that used this scratch slot two chunks ago
+        @pl.when(s >= 2)
+        def _():
+            wdma(slot, s - 2).wait()
+
+        wscr[slot] = jnp.where(okf, got, oscr[slot])
+        wdma(slot, s).start()
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, body, 0)
+
+    # drain outstanding writes
+    @pl.when(nchunks >= 2)
+    def _():
+        wdma(jax.lax.rem(nchunks - 2, 2), nchunks - 2).wait()
+
+    @pl.when(nchunks >= 1)
+    def _():
+        wdma(jax.lax.rem(nchunks - 1, 2), nchunks - 1).wait()
+
+
+def sorted_window_gather_pallas(
+    table: jnp.ndarray,        # [S, F]
+    keys_sorted: jnp.ndarray,  # [R] int32 ascending, in [0, S)
+    *,
+    block_slots: int = 4096,
+    chunk: int = 2048,
+    r_width: int = 128,
+) -> jnp.ndarray:
+    """rows[f, i] = table[keys_sorted[i], f] -> [F, R] (feature-major)."""
+    s, feat = table.shape
+    s_pad = _round_up(max(s, block_slots), block_slots)
+    nblocks = s_pad // block_slots
+    q_span = block_slots // r_width
+    rf = r_width * feat
+
+    r = keys_sorted.shape[0]
+    r_pad = _round_up(r, chunk) + chunk
+    keys_p = jnp.full((r_pad,), s_pad, jnp.int32).at[:r].set(keys_sorted)
+    table_p = (
+        table
+        if s == s_pad
+        else jnp.concatenate(
+            [table, jnp.zeros((s_pad - s, feat), table.dtype)]
+        )
+    )
+    # transposed per-block view: [nblocks, q_span, rf] -> [nblocks, rf, q_span]
+    tview = (
+        table_p.reshape(nblocks, block_slots * feat)
+        .reshape(nblocks, q_span, rf)
+        .transpose(0, 2, 1)
+        .reshape(nblocks * rf, q_span)
+    )
+
+    starts = jnp.searchsorted(
+        keys_p[:r], jnp.arange(nblocks + 1, dtype=jnp.int32) * block_slots
+    ).astype(jnp.int32)
+
+    kernel = functools.partial(
+        _gather_kernel,
+        block_slots=block_slots,
+        chunk=chunk,
+        r_width=r_width,
+        feat=feat,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nblocks,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(
+                    (rf, q_span), lambda b, starts: (b, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+            scratch_shapes=[
+                pltpu.VMEM((2, 1, chunk), jnp.int32),
+                pltpu.VMEM((2, feat, chunk), jnp.float32),
+                pltpu.VMEM((2, feat, chunk), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((feat, r_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=_INTERPRET,
+    )(starts, keys_p[None], tview)
+    return out[:, :r]
+
+
+# ---------------------------------------------------------------------------
+# differentiable table gather (the hash-grid primitive)
+# ---------------------------------------------------------------------------
+
+
+def table_gather(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """rows[i] = table[idx[i]]  ([S, F] x [R] -> [R, F]).
+
+    Linear in ``table``. Forward is a plain XLA gather (measured FASTER than
+    the windowed Pallas gather: ~10 vs ~14 ns/row on chip). The *transpose*
+    is an exact segment sum executed by the windowed Pallas kernel on TPU
+    (the tcnn-grid-backward equivalent, encoding_map.cpp:25-26 call site).
+
+    Declared via ``linear_call`` — a linear op with a custom transpose — so
+    the gather<->segsum pairing survives EVERY differentiation order: the
+    first-order table grad, the eikonal double-backward (grad-of-grad), and
+    forward-over-reverse Hessian products all route their scatter through
+    the Pallas kernel instead of XLA's ~40 ns/row serial scatter.
+    """
+    from jax._src.custom_derivatives import linear_call
+
+    num_slots = table.shape[0]
+
+    def fwd(idx_res, t):
+        return t[idx_res]
+
+    def trans(idx_res, cot):
+        return segment_sum(idx_res, cot, num_slots)
+
+    return linear_call(fwd, trans, idx, table)
