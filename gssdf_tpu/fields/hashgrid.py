@@ -95,22 +95,21 @@ _CORNERS = np.stack(
 ).reshape(8, 3)
 
 
-def hashgrid_encode(
-    table: jnp.ndarray, x01: jnp.ndarray, spec: HashGridSpec
-) -> jnp.ndarray:
-    """Encode points [N, 3] in [0, 1] -> features [N, L*F].
+def _corner_idx_weights(x01, spec: HashGridSpec, with_dw: bool):
+    """Per-level corner slot indices + trilinear weights (+ d(weight)/dx01).
 
-    One global gather: per-level corner slot indices are offset into the
-    concatenated table, flattened to [N, L*8], gathered once, then reduced by
-    trilinear weights.
+    Returns (idx [N, L, 8], w [N, L, 8], dw [N, L, 8, 3] or None). ``dw`` is
+    the EXACT derivative of the multilinear weights wrt the unit-cube
+    coordinate (each w_c is linear per axis, so dw_c/dx_i = ±res ·
+    prod-of-other-axis terms and d²w/dx_i² = 0).
     """
     res, slots, dense = spec.level_meta()
     offsets = np.concatenate([[0], np.cumsum(slots)[:-1]])
     corners = jnp.asarray(_CORNERS, dtype=jnp.int32)  # [8, 3]
+    sign = jnp.where(corners == 1, 1.0, -1.0)  # [8, 3]
 
     x01 = jnp.clip(x01, 0.0, 1.0)
-    idx_all = []
-    w_all = []
+    idx_all, w_all, dw_all = [], [], []
     for l in range(spec.n_levels):
         r = int(res[l])
         pos = x01 * r  # [N, 3] in [0, r]
@@ -121,19 +120,94 @@ def hashgrid_encode(
         flat = _corner_indices(
             ijk, r, bool(dense[l]), spec.table_size
         ) + int(offsets[l])
-        # trilinear weights [N, 8]
-        cw = jnp.where(corners[None] == 1, frac[:, None, :], 1.0 - frac[:, None, :])
-        w = cw[..., 0] * cw[..., 1] * cw[..., 2]
+        # per-axis linear terms t [N, 8, 3]
+        t = jnp.where(corners[None] == 1, frac[:, None, :], 1.0 - frac[:, None, :])
+        w = t[..., 0] * t[..., 1] * t[..., 2]
         idx_all.append(flat)
         w_all.append(w)
+        if with_dw:
+            dw = (
+                jnp.stack(
+                    [
+                        t[..., 1] * t[..., 2],
+                        t[..., 0] * t[..., 2],
+                        t[..., 0] * t[..., 1],
+                    ],
+                    axis=-1,
+                )
+                * sign[None]
+                * float(r)
+            )  # [N, 8, 3]
+            dw_all.append(dw)
 
     idx = jnp.stack(idx_all, axis=1)  # [N, L, 8]
     w = jnp.stack(w_all, axis=1)  # [N, L, 8]
-    # table_gather: XLA gather forward; transpose = windowed Pallas segment
-    # sum on TPU (every autodiff order — see ops/pallas/segsum.py)
-    feats = table_gather(table, idx.reshape(-1)).reshape(
-        x01.shape[0], idx.shape[1] * 8, spec.n_features_per_level
-    )  # [N, L*8, F]
-    feats = feats.reshape(x01.shape[0], spec.n_levels, 8, spec.n_features_per_level)
+    dw = jnp.stack(dw_all, axis=1) if with_dw else None  # [N, L, 8, 3]
+    return idx, w, dw
+
+
+def _gather_corner_feats(table, idx, spec: HashGridSpec):
+    """One global gather of all (level, corner) rows -> [N, L, 8, F].
+
+    table_gather: XLA gather forward; transpose = windowed Pallas segment
+    sum on TPU (every autodiff order — see ops/pallas/segsum.py).
+    """
+    n = idx.shape[0]
+    return table_gather(table, idx.reshape(-1)).reshape(
+        n, spec.n_levels, 8, spec.n_features_per_level
+    )
+
+
+def hashgrid_encode(
+    table: jnp.ndarray, x01: jnp.ndarray, spec: HashGridSpec
+) -> jnp.ndarray:
+    """Encode points [N, 3] in [0, 1] -> features [N, L*F].
+
+    One global gather: per-level corner slot indices are offset into the
+    concatenated table, flattened to [N, L*8], gathered once, then reduced by
+    trilinear weights.
+    """
+    idx, w, _ = _corner_idx_weights(x01, spec, with_dw=False)
+    feats = _gather_corner_feats(table, idx, spec)
     out = jnp.sum(feats * w[..., None], axis=2)  # [N, L, F]
     return out.reshape(x01.shape[0], spec.out_dim)
+
+
+def hashgrid_encode_with_grad(
+    table: jnp.ndarray,
+    x01: jnp.ndarray,
+    spec: HashGridSpec,
+    detach_positions: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Encode + EXACT spatial Jacobian from ONE shared gather.
+
+    Returns (feat [N, L*F], feat_g [N, L*F], dfeat_dx01 [N, L*F, 3]).
+    Because the trilinear weights are multilinear in x, the encode's spatial
+    derivative uses the SAME gathered corner rows as the value — the
+    TPU-first replacement for a second autodiff pass through the hash table
+    (which would cost an extra 4.2M-row gather + segment-sum per
+    regularizer term; reference runs FD probes instead,
+    local_map.cpp:110-149).
+
+    ``detach_positions=True`` stop-gradients the interpolation weights on
+    the (feat_g, jac) branch only: downstream gradient-path losses (eikonal
+    on splat samples) then match the reference's ``xyz.detach()`` semantics
+    (neural_mapping.cpp:450-452) — no gradient to the positions — while the
+    table cotangent still flows through the shared gather.
+    """
+    idx, w, dw = _corner_idx_weights(x01, spec, with_dw=True)
+    feats = _gather_corner_feats(table, idx, spec)  # [N, L, 8, F]
+    out = jnp.sum(feats * w[..., None], axis=2)  # [N, L, F]
+    n = x01.shape[0]
+    if detach_positions:
+        w = jax.lax.stop_gradient(w)
+        dw = jax.lax.stop_gradient(dw)
+        out_g = jnp.sum(feats * w[..., None], axis=2)
+    else:
+        out_g = out
+    jac = jnp.einsum("nlcf,nlci->nlfi", feats, dw)  # [N, L, F, 3]
+    return (
+        out.reshape(n, spec.out_dim),
+        out_g.reshape(n, spec.out_dim),
+        jac.reshape(n, spec.out_dim, 3),
+    )

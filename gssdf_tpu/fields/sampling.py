@@ -111,6 +111,28 @@ def sample_points(
     )
 
 
+def compact_samples(s: SampleBatch, capacity: int) -> SampleBatch:
+    """Pack valid samples to the front and truncate to ``capacity`` rows.
+
+    The raymarch emits fixed-capacity per-ray slots (samples_per_ray ≈ 15)
+    of which typically ~half are masked padding; every downstream hash-grid
+    encode pays per-row. One stable sort by !mask (sorts are ~free on TPU)
+    + 4 gathers caps the device work at the reference's adaptive point
+    budget (k_batch_pt_num, neural_mapping.cpp:324-330) with static shapes.
+    Overflow beyond ``capacity`` drops tail rays — rays are freshly randomly
+    drawn each iteration, so the drop is unbiased across the dataset.
+    """
+    if capacity >= s.mask.shape[0]:
+        return s
+    order = jnp.argsort(jnp.logical_not(s.mask), stable=True)[:capacity]
+    return SampleBatch(
+        xyz=s.xyz[order],
+        ray_sdf=s.ray_sdf[order],
+        mask=s.mask[order],
+        direction=s.direction[order],
+    )
+
+
 def samples_per_ray(
     surface_sample_num: int, free_sample_num: int, max_hits: int
 ) -> int:

@@ -21,7 +21,12 @@ from typing import Any, Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from .hashgrid import HashGridSpec, hashgrid_encode, init_hashgrid
+from .hashgrid import (
+    HashGridSpec,
+    hashgrid_encode,
+    hashgrid_encode_with_grad,
+    init_hashgrid,
+)
 from .mlp import init_mlp, mlp_apply
 
 
@@ -160,6 +165,59 @@ def sdf_gradient_numerical(
         - 2.0 * sdf
     )
     return grad, hess
+
+
+def sdf_apply_with_grad(
+    params,
+    xyz,
+    geom,
+    spec,
+    with_hessian: bool = False,
+    detach_grad_positions: bool = False,
+):
+    """Fused (sdf, isigma, ∇sdf [, diag-Hessian]) from ONE hash-table gather.
+
+    The trilinear weights are multilinear in x, so the encode's exact spatial
+    Jacobian reuses the corner rows gathered for the value
+    (hashgrid_encode_with_grad); per-axis second derivatives of the encode
+    are identically zero, so diag(H) = J_i^T H_mlp J_i needs only tiny-MLP
+    forward-over-forward passes. This replaces both the autodiff
+    double-backward and the reference's FD probes (local_map.cpp:105-173)
+    on the hot path — no second gather, no second segment-sum.
+
+    ``detach_grad_positions``: the returned grad/hessian carry no gradient
+    to ``xyz`` (reference's ``.detach()`` on eikonal inputs,
+    neural_mapping.cpp:450-452); the sdf/isigma value path stays fully
+    differentiable.
+    """
+    x01 = geom.xyz_to_zp1(xyz)
+    feat, feat_g, jac = hashgrid_encode_with_grad(
+        params["table"], x01, spec.grid, detach_positions=detach_grad_positions
+    )
+    scale = 1.0 / geom.map_size  # d(x01)/d(xyz)
+
+    def mlp(f):
+        return mlp_apply(params["decoder"], f)
+
+    out = mlp(feat)
+    sdf = out[..., 0:1]
+    raw = out[..., 1:2]
+    isigma = 1.0 + jax.nn.softplus(100.0 * raw) * (spec.bce_isigma / 100.0)
+
+    vs = [jac[..., i] * scale for i in range(3)]  # feature-tangents per axis
+    grad = jnp.stack(
+        [jax.jvp(mlp, (feat_g,), (v,))[1][..., 0] for v in vs], axis=-1
+    )
+    if not with_hessian:
+        return sdf, isigma, grad, None
+
+    def d1(f, v):
+        return jax.jvp(mlp, (f,), (v,))[1][..., 0]
+
+    hd = [
+        jax.jvp(lambda f: d1(f, v), (feat_g,), (v,))[1] for v in vs
+    ]  # v^T H_mlp v per axis
+    return sdf, isigma, grad, jnp.stack(hd, axis=-1)
 
 
 def sdf_gradient_autodiff(params, xyz, geom, spec, with_hessian: bool = False):

@@ -408,28 +408,77 @@ def sorted_window_gather_pallas(
 # ---------------------------------------------------------------------------
 
 
+# table_gather is a first-class linear primitive so the gather<->segsum
+# pairing survives EVERY transform: first-order table grads, the eikonal
+# grad-of-grad, forward-over-reverse Hessian products, and vmap (multicam
+# sharded steps) all route their scatter through the Pallas kernel instead
+# of XLA's ~40 ns/row serial scatter. Forward is a plain XLA gather
+# (measured FASTER than the windowed Pallas gather: ~10 vs ~14 ns/row).
+_tg_p = jax.extend.core.Primitive("gssdf_table_gather")
+
+
 def table_gather(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """rows[i] = table[idx[i]]  ([S, F] x [R] -> [R, F]).
+    """rows[i] = table[idx[i]]  ([S, F] x [R] int32 -> [R, F]).
 
-    Linear in ``table``. Forward is a plain XLA gather (measured FASTER than
-    the windowed Pallas gather: ~10 vs ~14 ns/row on chip). The *transpose*
-    is an exact segment sum executed by the windowed Pallas kernel on TPU
-    (the tcnn-grid-backward equivalent, encoding_map.cpp:25-26 call site).
-
-    Declared via ``linear_call`` — a linear op with a custom transpose — so
-    the gather<->segsum pairing survives EVERY differentiation order: the
-    first-order table grad, the eikonal double-backward (grad-of-grad), and
-    forward-over-reverse Hessian products all route their scatter through
-    the Pallas kernel instead of XLA's ~40 ns/row serial scatter.
+    Linear in ``table``; transpose = exact sorted windowed Pallas segment
+    sum on TPU (the tcnn-grid-backward equivalent, encoding_map.cpp:25-26
+    call site), XLA scatter elsewhere.
     """
-    from jax._src.custom_derivatives import linear_call
+    return _tg_p.bind(table, idx)
 
-    num_slots = table.shape[0]
 
-    def fwd(idx_res, t):
-        return t[idx_res]
+def _tg_impl(table, idx):
+    return table[idx]
 
-    def trans(idx_res, cot):
-        return segment_sum(idx_res, cot, num_slots)
 
-    return linear_call(fwd, trans, idx, table)
+def _tg_abstract(table, idx):
+    from jax._src.core import ShapedArray
+
+    return ShapedArray((idx.shape[0], table.shape[1]), table.dtype)
+
+
+def _tg_transpose(ct, table, idx):
+    from jax.interpreters import ad
+
+    assert ad.is_undefined_primal(table) and not ad.is_undefined_primal(idx)
+    num_slots = table.aval.shape[0]
+    if type(ct) is ad.Zero:
+        return ad.Zero(table.aval), None
+    return segment_sum(idx, ct, num_slots), None
+
+
+def _tg_batch(args, dims):
+    from jax.interpreters import batching
+
+    table, idx = args
+    td, idd = dims
+    if td is batching.not_mapped:
+        idx_b = jnp.moveaxis(idx, idd, 0)
+        b, r = idx_b.shape
+        out = _tg_p.bind(table, idx_b.reshape(-1))
+        return out.reshape(b, r, table.shape[1]), 0
+    table_b = jnp.moveaxis(table, td, 0)
+    b, s, f = table_b.shape
+    if idd is batching.not_mapped:
+        idx_b = jnp.broadcast_to(idx[None], (b, idx.shape[0]))
+    else:
+        idx_b = jnp.moveaxis(idx, idd, 0)
+    offs = (jnp.arange(b, dtype=idx_b.dtype) * s)[:, None]
+    out = _tg_p.bind(table_b.reshape(b * s, f), (idx_b + offs).reshape(-1))
+    return out.reshape(b, idx_b.shape[1], f), 0
+
+
+def _register_tg():
+    from jax.interpreters import ad, batching, mlir
+
+    _tg_p.def_impl(_tg_impl)
+    _tg_p.def_abstract_eval(_tg_abstract)
+    ad.defjvp(_tg_p, lambda g, table, idx: _tg_p.bind(g, idx), None)
+    ad.primitive_transposes[_tg_p] = _tg_transpose
+    batching.primitive_batchers[_tg_p] = _tg_batch
+    mlir.register_lowering(
+        _tg_p, mlir.lower_fun(_tg_impl, multiple_results=False)
+    )
+
+
+_register_tg()

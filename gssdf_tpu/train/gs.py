@@ -23,8 +23,8 @@ import numpy as np
 
 from .. import losses
 from ..fields.occupancy import OccupancyGrid, valid_mask
-from ..fields.sampling import RayBatch, sample_points
-from ..fields.sdf_field import MapGeometry, sdf_apply
+from ..fields.sampling import RayBatch, compact_samples, sample_points
+from ..fields.sdf_field import MapGeometry, sdf_apply, sdf_apply_with_grad
 from ..gs.model import (
     DensifyState,
     RefineSpec,
@@ -39,7 +39,12 @@ from ..gs.model import (
 from ..gs.render import RenderSettings, render_splats
 from ..sensors.cameras import Camera, depth_to_normal
 from .optim import AdamState, adam_init, adam_update
-from .sdf import SDFTrainSpec, sdf_losses, sdf_regularization
+from .sdf import (
+    SDFTrainSpec,
+    align_regularization,
+    sdf_losses,
+    sdf_regularization,
+)
 
 
 @dataclass(frozen=True)
@@ -214,6 +219,8 @@ def make_gs_train_step(
                 truncated_dis=spec.sdf.truncated_dis,
                 inner_half_extent=spec.sdf.inner_half_extent,
             )
+            if spec.sdf.point_budget > 0:
+                samples = compact_samples(samples, spec.sdf.point_budget)
 
         c = state.alive.shape[0]
 
@@ -267,18 +274,56 @@ def make_gs_train_step(
                     & valid_mask(grid, render["samples"])
                     & state.alive
                 )
-                gs_sdf, _ = sdf_apply(sdf_p, render["samples"], geom, spec.sdf.field)
+                gs_eik = (
+                    joint_sdf
+                    and spec.sdf.eikonal_weight > 0
+                    and not spec.sdf.numerical_grad
+                )
+                if gs_eik:
+                    # Fused shared-gather eval: the gs_sdf value (grad flows
+                    # to splats) AND the eikonal gradient (positions
+                    # detached, reference's xyz.detach() semantics,
+                    # neural_mapping.cpp:450-452) come from ONE hash-table
+                    # gather over the full splat-sample set.
+                    gs_sdf, _, gs_grad, _ = sdf_apply_with_grad(
+                        sdf_p,
+                        render["samples"],
+                        geom,
+                        spec.sdf.field,
+                        detach_grad_positions=True,
+                    )
+                else:
+                    gs_sdf, _ = sdf_apply(
+                        sdf_p, render["samples"], geom, spec.sdf.field
+                    )
                 w = jnp.where(m, w, 0.0)
                 if spec.gs_sdf_weight > 0:
                     l_gs_sdf = losses.gs_sdf_loss(gs_sdf[:, 0], w)
                     gs_loss = gs_loss + spec.gs_sdf_weight * l_gs_sdf
                     aux["gs_sdf"] = l_gs_sdf
                     aux["vis_n"] = jnp.sum(m)
-                if joint_sdf and spec.sdf.eikonal_weight > 0:
-                    # eikonal on (detached) gs samples trains the SDF side;
-                    # subsampled like the ray-side regularizer (the FD align
-                    # term on full splat capacity OOMs: 6 offsets x 262k
-                    # points of hash features)
+                if gs_eik:
+                    l_eik = losses.eikonal_loss(gs_grad, m)
+                    sdf_nn_loss = (
+                        sdf_nn_loss
+                        + spec.sdf.eikonal_weight * l_eik
+                        + align_regularization(
+                            sdf_p,
+                            jax.lax.stop_gradient(render["samples"]),
+                            m,
+                            gs_grad,
+                            geom,
+                            spec.sdf,
+                            sample_std,
+                            kreg,
+                            aux,
+                            name="gs_align",
+                        )
+                    )
+                    aux["gs_eik"] = l_eik
+                elif joint_sdf and spec.sdf.eikonal_weight > 0:
+                    # numerical-grad fallback: FD regularizer on a subset
+                    # (full splat capacity x FD offsets OOMs)
                     xs = jax.lax.stop_gradient(render["samples"])
                     ms = m
                     kk = spec.sdf.eikonal_sample_num

@@ -20,11 +20,17 @@ import jax.numpy as jnp
 
 from .. import losses
 from ..fields.occupancy import OccupancyGrid
-from ..fields.sampling import RayBatch, sample_points, samples_per_ray
+from ..fields.sampling import (
+    RayBatch,
+    compact_samples,
+    sample_points,
+    samples_per_ray,
+)
 from ..fields.sdf_field import (
     MapGeometry,
     SDFFieldSpec,
     sdf_apply,
+    sdf_apply_with_grad,
     sdf_gradient_autodiff,
     sdf_gradient_numerical,
 )
@@ -37,6 +43,10 @@ class SDFTrainSpec:
 
     field: SDFFieldSpec
     batch_rays: int
+    # Device-side point budget after compaction (k_batch_pt_num; the
+    # reference adapts the ray count toward this sample budget,
+    # neural_mapping.cpp:324-330). 0 disables compaction.
+    point_budget: int = 32768
     surface_sample_num: int = 3
     free_sample_num: int = 3
     max_hits: int = 8
@@ -48,11 +58,16 @@ class SDFTrainSpec:
     curvate_weight: float = 0.0
     align_weight: float = 0.1
     numerical_grad: bool = False
-    # eikonal/curvature run on a random subset: the double-backward through
-    # the hash table costs ~40 ns per (point, level, corner) scatter row on
-    # TPU, and a regularizer does not need every sample (TPU adaptation; the
-    # reference regularizes the full batch, neural_mapping.cpp:106-136)
+    # Subset size for the regularizers on the NON-fused (numerical-grad)
+    # path only; 0 = full batch. The default analytic path computes
+    # eikonal/curvature on the FULL batch via the fused shared-gather
+    # encode (sdf_apply_with_grad) at negligible extra cost.
     eikonal_sample_num: int = 8192
+    # The analytic/numeric alignment term still needs 6 FD probe encodes
+    # (6 extra hash-table gathers); it runs on a random subset (TPU
+    # adaptation — the reference aligns the full batch,
+    # neural_mapping.cpp:125-133). 0 = full batch.
+    align_sample_num: int = 8192
 
     @classmethod
     def from_config(cls, cfg, field_spec: SDFFieldSpec) -> "SDFTrainSpec":
@@ -61,7 +76,11 @@ class SDFTrainSpec:
         )
         return cls(
             field=field_spec,
-            batch_rays=max(1, cfg.batch_pt_num // spr),
+            # 2x ray oversampling vs the slot capacity; compaction trims
+            # the real samples to the point budget (typical occupancy of
+            # the per-ray slots is ~50%)
+            batch_rays=max(1, cfg.batch_pt_num * 2 // spr),
+            point_budget=cfg.batch_pt_num,
             surface_sample_num=cfg.surface_sample_num,
             free_sample_num=cfg.free_sample_num,
             max_hits=cfg.raymarch_max_hits,
@@ -86,13 +105,37 @@ def sdf_losses(
     reg_key=None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """BCE + eikonal (+curvature, +numeric/analytic alignment) on a masked
-    SampleBatch. Shared by the pure-SDF phase and the joint GS phase."""
-    sdf, isigma = sdf_apply(params, samples.xyz, geom, spec.field)
+    SampleBatch. Shared by the pure-SDF phase and the joint GS phase.
+
+    Analytic (default) path: ONE fused shared-gather evaluation yields sdf,
+    isigma, ∇sdf and diag-Hessian together, so BCE + eikonal + curvature run
+    on the full batch for the cost of a single encode. Numerical path keeps
+    the reference's FD probes (subset-able via ``eikonal_sample_num``)."""
+    curvate = spec.curvate_weight > 0
+    fused = spec.eikonal_weight > 0 and not spec.numerical_grad
+    if fused:
+        sdf, isigma, grad, hess = sdf_apply_with_grad(
+            params, samples.xyz, geom, spec.field, with_hessian=curvate
+        )
+    else:
+        sdf, isigma = sdf_apply(params, samples.xyz, geom, spec.field)
     l_bce = losses.sdf_loss_masked(sdf, samples.ray_sdf, isigma, samples.mask)
     total = spec.sdf_weight * l_bce
     aux = {"sdf": l_bce, "isigma_mean": losses.masked_mean(isigma, samples.mask)}
 
-    if spec.eikonal_weight > 0:
+    if fused:
+        l_eik = losses.eikonal_loss(grad, samples.mask)
+        total = total + spec.eikonal_weight * l_eik
+        aux["eik"] = l_eik
+        if curvate:
+            l_curv = losses.curvature_loss(hess, samples.mask)
+            total = total + spec.curvate_weight * l_curv
+            aux["curv"] = l_curv
+        total = total + align_regularization(
+            params, samples.xyz, samples.mask, grad, geom, spec,
+            sample_std, reg_key, aux,
+        )
+    elif spec.eikonal_weight > 0:
         xyz_r, mask_r = samples.xyz, samples.mask
         k = spec.eikonal_sample_num
         if reg_key is not None and 0 < k < xyz_r.shape[0]:
@@ -105,10 +148,34 @@ def sdf_losses(
             geom,
             spec,
             sample_std,
-            curvate=spec.curvate_weight > 0,
+            curvate=curvate,
             aux=aux,
         )
     return total, aux
+
+
+def align_regularization(
+    params, xyz, mask, grad, geom, spec, sample_std, reg_key, aux,
+    name: str = "align",
+):
+    """Analytic-vs-FD gradient alignment (neural_mapping.cpp:125-133) on a
+    random subset (``align_sample_num``; 0 = full). The FD target is
+    detached, exactly like the reference; ``grad`` comes from the fused
+    shared-gather eval."""
+    if spec.align_weight <= 0:
+        return 0.0
+    k = spec.align_sample_num
+    if reg_key is not None and 0 < k < xyz.shape[0]:
+        sel = jax.random.randint(reg_key, (k,), 0, xyz.shape[0])
+        xyz, mask, grad = xyz[sel], mask[sel], grad[sel]
+    g_num, _ = sdf_gradient_numerical(
+        params, xyz, geom, spec.field, sample_std, with_hessian=False
+    )
+    l_align = losses.masked_mean(
+        jnp.abs(grad - jax.lax.stop_gradient(g_num)), mask
+    )
+    aux[name] = l_align
+    return spec.align_weight * l_align
 
 
 def sdf_regularization(
@@ -186,6 +253,8 @@ def make_sdf_train_step(
             truncated_dis=spec.truncated_dis,
             inner_half_extent=spec.inner_half_extent,
         )
+        if spec.point_budget > 0:
+            samples = compact_samples(samples, spec.point_budget)
 
         def loss_fn(p):
             return sdf_losses(p, samples, geom, spec, sample_std, kreg)

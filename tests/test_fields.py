@@ -122,6 +122,88 @@ def test_gradient_numerical_vs_autodiff():
     assert h_num.shape == (64, 3) and h_ad.shape == (64, 3)
 
 
+def test_fused_grad_matches_autodiff():
+    """sdf_apply_with_grad's shared-gather analytic gradient == autodiff."""
+    from gssdf_tpu.fields.sdf_field import sdf_apply_with_grad
+
+    params = init_sdf_field(jax.random.PRNGKey(0), FSPEC)
+    xyz = jax.random.uniform(jax.random.PRNGKey(1), (64, 3), minval=-0.5, maxval=0.5)
+    sdf_f, isig_f, g_f, h_f = sdf_apply_with_grad(
+        params, xyz, GEOM, FSPEC, with_hessian=True
+    )
+    sdf, isig = sdf_apply(params, xyz, GEOM, FSPEC)
+    np.testing.assert_allclose(np.asarray(sdf_f), np.asarray(sdf), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(isig_f), np.asarray(isig), atol=1e-6)
+    g_ad, _ = sdf_gradient_autodiff(params, xyz, GEOM, FSPEC)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_ad), atol=1e-5)
+    # diag Hessian vs exact per-axis autodiff double-jvp
+    def f(x):
+        return sdf_apply(params, x, GEOM, FSPEC)[0][..., 0]
+
+    h_cols = []
+    for i in range(3):
+        e = jnp.zeros_like(xyz).at[:, i].set(1.0)
+        inner = lambda x: jax.jvp(f, (x,), (e,))[1]
+        h_cols.append(jax.jvp(inner, (xyz,), (e,))[1])
+    h_ref = jnp.stack(h_cols, axis=-1)
+    np.testing.assert_allclose(np.asarray(h_f), np.asarray(h_ref), atol=1e-4)
+
+
+def test_fused_grad_table_cotangent_matches_autodiff():
+    """Training gradients wrt the hash table through the fused eikonal path
+    must equal the pure-autodiff double-backward."""
+    from gssdf_tpu.fields.sdf_field import sdf_apply_with_grad
+
+    params = init_sdf_field(jax.random.PRNGKey(0), FSPEC)
+    xyz = jax.random.uniform(jax.random.PRNGKey(1), (32, 3), minval=-0.5, maxval=0.5)
+
+    def eik_fused(p):
+        _, _, g, _ = sdf_apply_with_grad(p, xyz, GEOM, FSPEC)
+        return jnp.mean(jnp.square(jnp.linalg.norm(g, axis=-1) - 1.0))
+
+    def eik_ad(p):
+        g, _ = sdf_gradient_autodiff(p, xyz, GEOM, FSPEC)
+        return jnp.mean(jnp.square(jnp.linalg.norm(g, axis=-1) - 1.0))
+
+    gt_f = jax.grad(eik_fused)(params)
+    gt_a = jax.grad(eik_ad)(params)
+    np.testing.assert_allclose(
+        np.asarray(gt_f["table"]), np.asarray(gt_a["table"]), atol=1e-5
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(gt_f["decoder"]),
+        jax.tree_util.tree_leaves(gt_a["decoder"]),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_fused_grad_detach_positions():
+    """detach_grad_positions: grad wrt xyz of the eikonal term is zero; the
+    value path keeps its xyz gradient."""
+    from gssdf_tpu.fields.sdf_field import sdf_apply_with_grad
+
+    params = init_sdf_field(jax.random.PRNGKey(0), FSPEC)
+    xyz = jax.random.uniform(jax.random.PRNGKey(1), (16, 3), minval=-0.5, maxval=0.5)
+
+    def eik(x):
+        _, _, g, _ = sdf_apply_with_grad(
+            params, x, GEOM, FSPEC, detach_grad_positions=True
+        )
+        return jnp.sum(jnp.square(g))
+
+    gx = jax.grad(eik)(xyz)
+    np.testing.assert_allclose(np.asarray(gx), 0.0, atol=1e-12)
+
+    def val(x):
+        s, _, _, _ = sdf_apply_with_grad(
+            params, x, GEOM, FSPEC, detach_grad_positions=True
+        )
+        return jnp.sum(s)
+
+    gv = jax.grad(val)(xyz)
+    assert float(jnp.max(jnp.abs(gv))) > 0.0
+
+
 def test_map_geometry_roundtrip():
     xyz = jnp.array([[0.3, -0.7, 1.1]])
     z = GEOM.xyz_to_zp1(xyz)
