@@ -1,24 +1,42 @@
-"""Pallas TPU kernels: per-tile 2DGS alpha compositing, forward AND backward.
+"""Pallas TPU kernels: chunked per-tile 2DGS alpha compositing, fwd AND bwd.
 
 The hot inner loop of the rasterizer (SURVEY §3.3; reference
 ``rasterize_to_pixels_2dgs`` fwd+bwd called at neural_gaussian.cpp:218-223).
-The XLA scan materializes several [P, C] planes per tile batch in HBM; these
-kernels fuse splat-coefficient evaluation, log-space transmittance
-(triangular matmul on the MXU), and all channel accumulations in VMEM — one
-HBM read of the entry table, one write of the outputs.
+The CUDA kernel walks each pixel's splat list front-to-back and EARLY-STOPS
+when transmittance drops below 1e-4. The TPU redesign keeps the early stop
+but at *chunk* granularity: the per-tile entry list [cap] is processed in
+CHUNK=128 column blocks; a chunk is skipped when
 
-The backward is HAND-DERIVED (not autodiff): per tile it recomputes the
-forward planes (cheap — 3 triangular matmuls) and applies the analytic
-adjoints of the compositing chain. All cumulative structure (transmittance
-suffix sums, distortion prefix sums) again rides the MXU as [P, C] @ [C, C]
-triangular matmuls; suffix sums are derived from the inclusive cumsums
-(suffix = total - inclusive) so fwd needs 3 and bwd 4 big matmuls per tile.
+  * every entry in it is a sentinel (max opacity == 0), or
+  * the tile is already saturated (max over pixels of log-transmittance at
+    the chunk start < log(T_EPS) - margin).
+
+Both conditions imply every weight in the chunk is exactly zero (the w
+computation gates on ``t_in >= T_EPS``), so skipping is EXACT for outputs
+and gradients — it mirrors the CUDA early-stop semantics rather than
+approximating them.
+
+Within a chunk all cumulative structure (transmittance prefix, weight
+prefix sums) rides the MXU as [P, CHUNK] @ [CHUNK, CHUNK] triangular
+matmuls, with [P, 1] carries threaded across chunks in VMEM scratch.
+
+The backward is HAND-DERIVED (not autodiff) and runs chunks in REVERSE
+order. To keep the discrete decisions (T_EPS keep-gate, median 0.5
+crossing, per-splat max-weight ties) bit-exact against the forward, the
+forward stores each chunk's starting log-transmittance and weight-prefix
+carry rows in spare output rows; the backward rebuilds ``w`` from those
+carries with the exact same ops. Cross-chunk suffix sums (needed by the
+distortion and transmittance adjoints) are carried in reverse.
 
 Layouts (lane axis last, 128-aligned):
-  entries  [T, 24, C]   rows 0..14 = splat_coeffs, 15..20 = feats, 21..23 pad
-  out      [T, 16, P]   rows 0..9 = color(3) normal(3) acc depth median
-                        distort; 10..15 pad   (P = tile_size^2 = 256)
-  wmax     [T, 8, C]    row 0 = per-splat max pixel weight
+  entries  [T, 24, C]     rows 0..14 = splat_coeffs, 15..20 = feats, 21+ pad
+  out      [T, OR, P]     rows 0..9 = color(3) normal(3) acc depth median
+                          distort; 10..10+NC = per-chunk cl carries;
+                          10+NC..10+2NC = per-chunk cum-weight carries
+                          (OR = 10 + 2*NC padded to a multiple of 8;
+                          P = tile_size^2 = 256, NC = C / CHUNK)
+  wmax     [T, 8, C]      row 0 = per-splat max pixel weight,
+                          row 1 = chunk-active flag (internal)
 
 Gradient semantics intentionally mirror JAX's vjp of the pure-JAX reference
 (`_composite_ref_jax`) so the two backends are interchangeable:
@@ -43,16 +61,29 @@ from ...gs.rasterize_jax import (
     MAX_ALPHA,
     T_EPS,
     FILTER_INV_SQUARE,
-    composite,
-    pixel_weights_from_coeffs,
 )
 
 _INTERPRET = False  # set True to run the kernels in interpreter mode (tests)
 
-F_ROWS = 24   # padded feature rows in the entry table
-O_ROWS = 16   # padded output channel rows
+F_ROWS = 24          # padded feature rows in the entry table
+CHUNK = 128          # entry-list chunk width (lane dimension)
+_LOG_TEPS = float(np.log(T_EPS))
+_SKIP_MARGIN = 1e-3  # conservative saturation-skip margin (see module doc)
 
 _HI = jax.lax.Precision.HIGHEST
+
+
+def n_chunks(cap: int) -> int:
+    assert cap % CHUNK == 0, "tile_cap must be a multiple of 128"
+    return cap // CHUNK
+
+
+def o_rows(nc: int) -> int:
+    """Output rows: 10 channels + 2*NC carry rows, padded to 8 sublanes."""
+    return -(-(10 + 2 * nc) // 8) * 8
+
+
+O_ROWS = 16  # o_rows for NC <= 3 (cap <= 384); kept for callers/tests
 
 
 def _dot(a, b):
@@ -60,10 +91,12 @@ def _dot(a, b):
 
 
 def _tri_mats(c: int):
-    """(inclusive upper, strict upper) [C, C] triangular ones (f32)."""
+    """(inclusive-prefix upper, strict-suffix lower) [C, C] f32 matmuls:
+    dot(x, upper)[_, c] = sum_{k<=c} x_k;  dot(x, lower)[_, c] = sum_{k>c}.
+    Built from iota so Pallas kernels don't capture host constants."""
     r = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
     cc = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
-    return (r <= cc).astype(jnp.float32), (r < cc).astype(jnp.float32)
+    return (r <= cc).astype(jnp.float32), (r > cc).astype(jnp.float32)
 
 
 def _tile_pixels(t, tiles_x: int, tile_size: int):
@@ -77,20 +110,20 @@ def _tile_pixels(t, tiles_x: int, tile_size: int):
     return px[:, None], py[:, None]
 
 
-def _tile_fwd_planes(ent, pxc, pyc):
-    """Shared fwd recompute: per-pixel-per-splat planes from an entry block.
+def _chunk_planes(ent, pxc, pyc):
+    """Per-entry (non-cumulative) planes from an entry block.
 
-    ent [F_ROWS, C]; pxc/pyc [P, 1]. Returns a dict of [P, C] planes and
-    masks needed by both forward outputs and the analytic backward.
+    ent [F_ROWS, ch]; pxc/pyc [P, 1]. Returns a dict of [P, ch] planes and
+    masks shared by the forward and the analytic backward.
     """
-    A0, A1, A2 = ent[0][None], ent[1][None], ent[2][None]      # [1, C]
+    A0, A1, A2 = ent[0][None], ent[1][None], ent[2][None]      # [1, ch]
     B0, B1, B2 = ent[3][None], ent[4][None], ent[5][None]
     C0, C1, C2 = ent[6][None], ent[7][None], ent[8][None]
     dA, dB, dC = ent[9][None], ent[10][None], ent[11][None]
     mx, my = ent[12][None], ent[13][None]
     opa = ent[14][None]
 
-    sx = A0 + pxc * B0 + pyc * C0          # [P, C]
+    sx = A0 + pxc * B0 + pyc * C0          # [P, ch]
     sy = A1 + pxc * B1 + pyc * C1
     sz = A2 + pxc * B2 + pyc * C2
     sz_ok = jnp.abs(sz) > 1e-9
@@ -110,136 +143,129 @@ def _tile_fwd_planes(ent, pxc, pyc):
     a1 = jnp.minimum(a_raw, MAX_ALPHA)
     gate = (a1 >= ALPHA_MIN) & (depth > 1e-6)
     alpha = jnp.where(gate, a1, 0.0)
-
-    c = ent.shape[-1]
-    u_incl, _ = _tri_mats(c)
     log1m = jnp.log1p(-alpha)
-    cl = _dot(log1m, u_incl)
-    t_in = jnp.exp(cl)
-    t_ex = jnp.exp(cl - log1m)
-    keep = t_in >= T_EPS
-    w = jnp.where(keep, t_ex * alpha, 0.0)     # [P, C]
-    wd = w * depth
-
-    cum = _dot(w, u_incl)
-    cum_wd = _dot(wd, u_incl)
-    # exclusive sums from the inclusive matmuls (no extra MXU work)
-    a_ex = cum - w
-    b_ex = cum_wd - wd
-
-    crossed = (cum >= 0.5).astype(jnp.float32)
-    p = pxc.shape[0]
-    first = crossed - jnp.concatenate(
-        [jnp.zeros((p, 1), jnp.float32), crossed[:, :-1]], axis=-1
-    )
-    first = jnp.maximum(first, 0.0)
 
     return dict(
         sx=sx, sy=sy, sz=sz, sz_ok=sz_ok, inv=inv, s2=s2,
         dx=dx, dy=dy, use3d=use3d,
         Dlin=Dlin, depth=depth, a_raw=a_raw, gate=gate, alpha=alpha,
-        t_ex=t_ex, keep=keep, w=w, wd=wd,
-        cum=cum, a_ex=a_ex, b_ex=b_ex, first=first,
+        log1m=log1m,
     )
 
 
-def _tile_fwd_outputs(ent, pxc, pyc):
-    """Per-tile forward: ent [F_ROWS, C] -> (out [O_ROWS, P], wmax [8, C])."""
-    f = _tile_fwd_planes(ent, pxc, pyc)
-    w, depth = f["w"], f["depth"]
-    c = ent.shape[-1]
-    p = pxc.shape[0]
+def _chunk_fwd(ent, pxc, pyc, cl0, cw0, cwd0):
+    """One forward chunk given [P, 1] carries (cl/cum-w/cum-wd at start).
 
-    feats = ent[15:21]                                    # [6, C]
-    outc = _dot(w, feats.T)                               # [P, 6]
-    acc = jnp.sum(w, axis=-1)                             # [P]
-    dmean = jnp.sum(f["wd"], axis=-1)
-    dmed = jnp.sum(depth * f["first"], axis=-1)
-    distort = 2.0 * jnp.sum(
-        w * (depth * f["a_ex"] - f["b_ex"]), axis=-1
-    )
-
-    stacked = jnp.concatenate(
-        [
-            outc.T,                      # [6, P]
-            acc[None],
-            dmean[None],
-            dmed[None],
-            distort[None],
-            jnp.zeros((O_ROWS - 10, p), jnp.float32),
-        ],
-        axis=0,
-    )                                    # [O_ROWS, P]
-    wmax = jnp.concatenate(
-        [jnp.max(w, axis=0)[None], jnp.zeros((7, c), jnp.float32)], axis=0
-    )
-    return stacked, wmax
-
-
-def _tile_bwd_math(ent, go, gw, pxc, pyc):
-    """Analytic per-tile backward.
-
-    ent [F_ROWS, C], go [O_ROWS, P] (cotangent of out), gw [8, C] (cotangent
-    of wmax) -> d_ent [F_ROWS, C]. Pure jnp: used verbatim inside the Pallas
-    kernel and (vmapped) as the CPU reference twin.
+    Returns (out10 [10, P] channel contributions, wmax_row [ch],
+    cl1, cw1, cwd1) with the new carries. Bit-for-bit this is the math the
+    backward replays from the stored carries.
     """
-    c = ent.shape[-1]
+    f = _chunk_planes(ent, pxc, pyc)
+    u_incl, _ = _tri_mats(ent.shape[-1])
+    depth, log1m, alpha = f["depth"], f["log1m"], f["alpha"]
+
+    cl = cl0 + _dot(log1m, u_incl)         # global inclusive log-T
+    t_ex = jnp.exp(cl - log1m)
+    keep = jnp.exp(cl) >= T_EPS
+    w = jnp.where(keep, t_ex * alpha, 0.0)
+    wd = w * depth
+
+    cum = cw0 + _dot(w, u_incl)            # global inclusive weight prefix
+    cum_wd = cwd0 + _dot(wd, u_incl)
+    a_ex = cum - w
+    b_ex = cum_wd - wd
+    first = jnp.maximum(
+        (cum >= 0.5).astype(jnp.float32) - (a_ex >= 0.5).astype(jnp.float32),
+        0.0,
+    )
+
+    feats = ent[15:21]                                   # [6, ch]
+    outc = _dot(w, feats.T)                              # [P, 6]
+    acc = jnp.sum(w, axis=-1)
+    dmean = jnp.sum(wd, axis=-1)
+    dmed = jnp.sum(depth * first, axis=-1)
+    distort = 2.0 * jnp.sum(w * (depth * a_ex - b_ex), axis=-1)
+
+    out10 = jnp.concatenate(
+        [outc.T, acc[None], dmean[None], dmed[None], distort[None]], axis=0
+    )                                                    # [10, P]
+    wmax_row = jnp.max(w, axis=0)                        # [ch]
+    return out10, wmax_row, cl[:, -1:], cum[:, -1:], cum_wd[:, -1:]
+
+
+def _chunk_bwd(ent, pxc, pyc, cl0, cw0, tot_w, tot_wd, sfx_wd, sfx_wg,
+               wmax_row, go, gw_row):
+    """Analytic adjoint of one chunk, replayed from the stored carries.
+
+    ent [F_ROWS, ch]; cl0/cw0 [P, 1] = stored forward carries at chunk
+    start; tot_w/tot_wd [P, 1] = full-list totals (fwd acc/dmean rows);
+    sfx_wd/sfx_wg [P, 1] = reverse carries (sum of wd / Gw*w over all later
+    chunks); wmax_row [ch] = stored per-splat max weight; go [OR, P] output
+    cotangent; gw_row [ch] per-splat wmax cotangent.
+
+    Returns (d_ent [F_ROWS, ch], new_sfx_wd, new_sfx_wg).
+    """
+    ch = ent.shape[-1]
     p = pxc.shape[0]
-    f = _tile_fwd_planes(ent, pxc, pyc)
-    w, wd, depth = f["w"], f["wd"], f["depth"]
-    alpha, t_ex, keep = f["alpha"], f["t_ex"], f["keep"]
-    a_ex, b_ex = f["a_ex"], f["b_ex"]
-    feats = ent[15:21]                   # [6, C]
+    f = _chunk_planes(ent, pxc, pyc)
+    depth, log1m, alpha = f["depth"], f["log1m"], f["alpha"]
+    u_incl, l_strict = _tri_mats(ch)
+    feats = ent[15:21]
 
-    _, u_strict = _tri_mats(c)
+    # exact replay of the forward weight math from the stored carries
+    cl = cl0 + _dot(log1m, u_incl)
+    t_ex = jnp.exp(cl - log1m)
+    keep = jnp.exp(cl) >= T_EPS
+    w = jnp.where(keep, t_ex * alpha, 0.0)
+    wd = w * depth
+    cum = cw0 + _dot(w, u_incl)
+    a_ex = cum - w
+    first = jnp.maximum(
+        (cum >= 0.5).astype(jnp.float32) - (a_ex >= 0.5).astype(jnp.float32),
+        0.0,
+    )
 
-    go6 = go[0:6]                        # [6, P]
-    ga = go[6][:, None]                  # [P, 1]
+    # global suffix sums: reverse carry + within-chunk strict suffix
+    Sw = tot_w - cum                                  # sum_{k>c} w_k (exact)
+    Smw = sfx_wd + _dot(wd, l_strict)                 # sum_{k>c} w_k m_k
+    b_ex = tot_wd - wd - Smw                          # exclusive wd prefix
+
+    go6 = go[0:6]                                     # [6, P]
+    ga = go[6][:, None]                               # [P, 1]
     gd = go[7][:, None]
     gm = go[8][:, None]
     gq = go[9][:, None]
-    gv = gw[0][None]                     # [1, C]
 
-    # --- dL/dw assembly -------------------------------------------------
-    # suffix sums over splats k > c, from totals minus inclusive sums
-    tot_w = jnp.sum(w, axis=-1, keepdims=True)      # [P, 1]
-    tot_wd = jnp.sum(wd, axis=-1, keepdims=True)
-    Sw = tot_w - f["cum"]                           # sum_{k>c} w_k
-    Smw = tot_wd - (b_ex + wd)                      # sum_{k>c} w_k m_k
-
-    # per-splat max-weight cotangent, split among tying pixels (jnp.max vjp)
-    wmax = jnp.max(w, axis=0, keepdims=True)        # [1, C]
-    mtie = (w == wmax).astype(jnp.float32)
-    cnt = jnp.sum(mtie, axis=0, keepdims=True)
-    g_vis = gv * mtie / cnt
+    # per-splat max-weight cotangent, split among tying pixels (jnp.max vjp).
+    # w is replayed bit-exactly from the stored carries so the argmax pixel
+    # always ties; the max(cnt, 1) guard only protects against NaN if a
+    # compiler ever reassociates the replay differently.
+    mtie = (w == wmax_row[None]).astype(jnp.float32)
+    cnt = jnp.maximum(jnp.sum(mtie, axis=0, keepdims=True), 1.0)
+    g_vis = gw_row[None] * mtie / cnt
 
     Gw = (
         jax.lax.dot_general(
             go6, feats, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=_HI,
-        )                                            # [P, C] color/normal
+        )                                             # [P, ch] color/normal
         + ga
         + gd * depth
         + gq * 2.0 * (depth * a_ex - b_ex + Smw - depth * Sw)
         + g_vis
     )
+    Gdepth = gd * w + gm * first + gq * 2.0 * w * (a_ex - Sw)
 
-    # --- dL/ddepth (from mean/median/distortion channels) ---------------
-    Gdepth = gd * w + gm * f["first"] + gq * 2.0 * w * (a_ex - Sw)
-
-    # --- w -> alpha through the transmittance chain ---------------------
-    # w_k = keep_k * alpha_k * prod_{j<k}(1-alpha_j):
+    # w -> alpha through the transmittance chain:
     #   dL/da_c = keep_c t_ex,c Gw_c - (1/(1-a_c)) sum_{k>c} Gw_k w_k
     WG = Gw * w
-    S_incl = _dot(WG, _tri_mats(c)[0])
-    tot_WG = jnp.sum(WG, axis=-1, keepdims=True)
-    S_suffix = tot_WG - S_incl
-    Galpha = jnp.where(keep, Gw * t_ex, 0.0) - S_suffix / (1.0 - alpha)
+    S_sfx = sfx_wg + _dot(WG, l_strict)
+    Galpha = jnp.where(keep, Gw * t_ex, 0.0) - S_sfx / (1.0 - alpha)
 
-    # --- alpha -> (opa, rho, depth-gate has no cotangent) ---------------
+    # alpha -> (opa, rho); gates carry no cotangent
     da1 = jnp.where(f["gate"], Galpha, 0.0)
     d_araw = jnp.where(f["a_raw"] <= MAX_ALPHA, da1, 0.0)
-    d_rho = -0.5 * f["a_raw"] * d_araw          # a_raw = opa * gauss
+    d_rho = -0.5 * f["a_raw"] * d_araw
     gauss = jnp.where(
         f["use3d"],
         jnp.exp(-0.5 * f["s2"] * (f["inv"] * f["inv"])),
@@ -262,136 +288,301 @@ def _tile_bwd_math(ent, go, gw, pxc, pyc):
     d_mx = -2.0 * FILTER_INV_SQUARE * f["dx"] * d_rho2
     d_my = -2.0 * FILTER_INV_SQUARE * f["dy"] * d_rho2
 
-    # --- reductions over pixels -> per-entry rows -----------------------
+    # reductions over pixels -> per-entry rows
     ones = jnp.ones((p, 1), jnp.float32)
-    Q = jnp.concatenate([ones, pxc, pyc], axis=1)    # [P, 3]
+    Q = jnp.concatenate([ones, pxc, pyc], axis=1)     # [P, 3]
 
-    def red(dplane):  # [3, C]: rows = (sum, sum px*, sum py*)
+    def red(dplane):  # [3, ch]: rows = (sum, sum px*, sum py*)
         return jax.lax.dot_general(
             Q, dplane, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=_HI,
         )
 
     RX, RY, RZ, RD = red(d_sx), red(d_sy), red(d_sz), red(d_Dlin)
-    # rows 0..8: A0 A1 A2 B0 B1 B2 C0 C1 C2 = interleave (RX|RY|RZ) by coeff
-    rABC = jnp.stack([RX, RY, RZ], axis=1).reshape(9, c)
+    rABC = jnp.stack([RX, RY, RZ], axis=1).reshape(9, ch)
 
     d_feats = jax.lax.dot_general(
         go6, w, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=_HI,
-    )                                                # [6, C]
+    )                                                 # [6, ch]
 
     d_ent = jnp.concatenate(
         [
-            rABC,                                    # 0..8
-            RD,                                      # 9..11
-            jnp.sum(d_mx, axis=0)[None],             # 12
-            jnp.sum(d_my, axis=0)[None],             # 13
-            jnp.sum(d_opa, axis=0)[None],            # 14
-            d_feats,                                 # 15..20
-            jnp.zeros((F_ROWS - 21, c), jnp.float32),
+            rABC,                                     # 0..8
+            RD,                                       # 9..11
+            jnp.sum(d_mx, axis=0)[None],              # 12
+            jnp.sum(d_my, axis=0)[None],              # 13
+            jnp.sum(d_opa, axis=0)[None],             # 14
+            d_feats,                                  # 15..20
+            jnp.zeros((F_ROWS - 21, ch), jnp.float32),
         ],
         axis=0,
     )
-    return d_ent
+    new_sfx_wd = sfx_wd + jnp.sum(wd, axis=-1, keepdims=True)
+    new_sfx_wg = sfx_wg + jnp.sum(WG, axis=-1, keepdims=True)
+    return d_ent, new_sfx_wd, new_sfx_wg
+
+
+def _chunk_active(ent, cl_carry):
+    """EXACT chunk-skip test: all-sentinel (max opa == 0) or saturated
+    (max log-T at chunk start below log(T_EPS) by a safety margin) chunks
+    contribute exactly zero weight everywhere."""
+    opa_max = jnp.max(ent[14])
+    unsat = jnp.max(cl_carry) >= _LOG_TEPS - _SKIP_MARGIN
+    return jnp.logical_and(opa_max > 0.0, unsat)
 
 
 # ---------------------------------------------------------------------------
 # Pallas kernels
 # ---------------------------------------------------------------------------
 
-def _composite_kernel(ent_ref, out_ref, wmax_ref, *, tiles_x: int,
-                      tile_size: int):
+def _fwd_kernel(ent_ref, out_ref, wmax_ref, cl_s, cw_s, cwd_s, *,
+                tiles_x: int, tile_size: int, nc: int):
     t = pl.program_id(0)
-    pxc, pyc = _tile_pixels(t, tiles_x, tile_size)
-    out, wmax = _tile_fwd_outputs(ent_ref[0], pxc, pyc)
-    out_ref[0] = out
-    wmax_ref[0] = wmax
+    j = pl.program_id(1)
+    orows = out_ref.shape[1]
+    p = tile_size * tile_size
+
+    @pl.when(j == 0)
+    def _init():
+        out_ref[0] = jnp.zeros((orows, p), jnp.float32)
+        cl_s[...] = jnp.zeros_like(cl_s)
+        cw_s[...] = jnp.zeros_like(cw_s)
+        cwd_s[...] = jnp.zeros_like(cwd_s)
+
+    ent = ent_ref[0]
+    cl0 = cl_s[...]
+    active = _chunk_active(ent, cl0)
+
+    @pl.when(active)
+    def _work():
+        pxc, pyc = _tile_pixels(t, tiles_x, tile_size)
+        cw0, cwd0 = cw_s[...], cwd_s[...]
+        out10, wmax_row, cl1, cw1, cwd1 = _chunk_fwd(
+            ent, pxc, pyc, cl0, cw0, cwd0
+        )
+        out_ref[0, 0:10] = out_ref[0, 0:10] + out10
+        # stored carries-at-chunk-start: rows 10+j (cl), 10+nc+j (cum-w)
+        out_ref[0, pl.ds(10 + j, 1), :] = cl0.T
+        out_ref[0, pl.ds(10 + nc + j, 1), :] = cw0.T
+        wmax_ref[0] = jnp.concatenate(
+            [
+                wmax_row[None],
+                jnp.ones((1, ent.shape[-1]), jnp.float32),
+                jnp.zeros((6, ent.shape[-1]), jnp.float32),
+            ],
+            axis=0,
+        )
+        cl_s[...] = cl1
+        cw_s[...] = cw1
+        cwd_s[...] = cwd1
+
+    @pl.when(jnp.logical_not(active))
+    def _skip():
+        wmax_ref[0] = jnp.zeros((8, ent.shape[-1]), jnp.float32)
 
 
-def _composite_bwd_kernel(ent_ref, go_ref, gw_ref, dent_ref, *, tiles_x: int,
-                          tile_size: int):
+def _bwd_kernel(ent_ref, outv_ref, wm_ref, go_ref, gw_ref, dent_ref,
+                sfx_wd_s, sfx_wg_s, *, tiles_x: int, tile_size: int,
+                nc: int):
     t = pl.program_id(0)
-    pxc, pyc = _tile_pixels(t, tiles_x, tile_size)
-    dent_ref[0] = _tile_bwd_math(
-        ent_ref[0], go_ref[0], gw_ref[0], pxc, pyc
-    )
+    j = pl.program_id(1)          # reverse chunk = nc - 1 - j via index maps
+    cj = nc - 1 - j
+
+    @pl.when(j == 0)
+    def _init():
+        sfx_wd_s[...] = jnp.zeros_like(sfx_wd_s)
+        sfx_wg_s[...] = jnp.zeros_like(sfx_wg_s)
+
+    ent = ent_ref[0]
+    ch = ent.shape[-1]
+    active = jnp.max(wm_ref[0, 1]) > 0.0
+
+    @pl.when(active)
+    def _work():
+        pxc, pyc = _tile_pixels(t, tiles_x, tile_size)
+        cl0 = outv_ref[0, pl.ds(10 + cj, 1), :].T
+        cw0 = outv_ref[0, pl.ds(10 + nc + cj, 1), :].T
+        tot_w = outv_ref[0, 6][:, None]
+        tot_wd = outv_ref[0, 7][:, None]
+        d_ent, nwd, nwg = _chunk_bwd(
+            ent, pxc, pyc, cl0, cw0, tot_w, tot_wd,
+            sfx_wd_s[...], sfx_wg_s[...],
+            wm_ref[0, 0], go_ref[0], gw_ref[0, 0],
+        )
+        dent_ref[0] = d_ent
+        sfx_wd_s[...] = nwd
+        sfx_wg_s[...] = nwg
+
+    @pl.when(jnp.logical_not(active))
+    def _skip():
+        dent_ref[0] = jnp.zeros((F_ROWS, ch), jnp.float32)
 
 
 def _composite_fwd_pallas(entries_t: jnp.ndarray, tiles_x: int,
                           tile_size: int):
-    """entries_t: [T, F_ROWS, C] -> (out [T, O_ROWS, P], wmax [T, 8, C])."""
+    """entries_t: [T, F_ROWS, C] -> (out [T, OR, P], wmax [T, 8, C])."""
     t_tiles, f_rows, c = entries_t.shape
-    assert f_rows == F_ROWS and c % 128 == 0
+    assert f_rows == F_ROWS
+    nc = n_chunks(c)
+    orows = o_rows(nc)
     p = tile_size * tile_size
     kernel = functools.partial(
-        _composite_kernel, tiles_x=tiles_x, tile_size=tile_size
+        _fwd_kernel, tiles_x=tiles_x, tile_size=tile_size, nc=nc
     )
     return pl.pallas_call(
         kernel,
-        grid=(t_tiles,),
+        grid=(t_tiles, nc),
         in_specs=[
-            pl.BlockSpec((1, F_ROWS, c), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, F_ROWS, CHUNK), lambda t, j: (t, 0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, O_ROWS, p), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, orows, p), lambda t, j: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, c), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 8, CHUNK), lambda t, j: (t, 0, j),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((t_tiles, O_ROWS, p), jnp.float32),
+            jax.ShapeDtypeStruct((t_tiles, orows, p), jnp.float32),
             jax.ShapeDtypeStruct((t_tiles, 8, c), jnp.float32),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((p, 1), jnp.float32),
+            pltpu.VMEM((p, 1), jnp.float32),
+            pltpu.VMEM((p, 1), jnp.float32),
+        ],
         interpret=_INTERPRET,
     )(entries_t)
 
 
-def _composite_bwd_pallas(entries_t, g_out, g_wmax, tiles_x: int,
-                          tile_size: int):
-    """Analytic backward: [T, F, C], [T, 16, P], [T, 8, C] -> d_ent."""
+def _composite_bwd_pallas(entries_t, out_vals, wm_vals, g_out, g_wmax,
+                          tiles_x: int, tile_size: int):
+    """Analytic backward. Runs chunks in reverse; needs the forward's
+    outputs (out_vals carries the per-chunk cl/cum rows; wm_vals carries
+    per-splat max weights and the chunk-active flags)."""
     t_tiles, f_rows, c = entries_t.shape
+    nc = n_chunks(c)
+    orows = o_rows(nc)
     p = tile_size * tile_size
     kernel = functools.partial(
-        _composite_bwd_kernel, tiles_x=tiles_x, tile_size=tile_size
+        _bwd_kernel, tiles_x=tiles_x, tile_size=tile_size, nc=nc
     )
+    rev = lambda t, j: (t, 0, nc - 1 - j)
     return pl.pallas_call(
         kernel,
-        grid=(t_tiles,),
+        grid=(t_tiles, nc),
         in_specs=[
-            pl.BlockSpec((1, F_ROWS, c), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, F_ROWS, CHUNK), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, orows, p), lambda t, j: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, O_ROWS, p), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 8, CHUNK), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, orows, p), lambda t, j: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, c), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, CHUNK), rev, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, F_ROWS, c), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, F_ROWS, CHUNK), rev,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((t_tiles, F_ROWS, c), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((p, 1), jnp.float32),
+            pltpu.VMEM((p, 1), jnp.float32),
+        ],
         interpret=_INTERPRET,
-    )(entries_t, g_out, g_wmax)
+    )(entries_t, out_vals, wm_vals, g_out, g_wmax)
 
 
-def composite_bwd_reference(entries_t, g_out, g_wmax, tiles_x: int,
-                            tile_size: int):
-    """Vmapped pure-JAX twin of the analytic backward (tests/CPU)."""
-    t_tiles = entries_t.shape[0]
-    tids = jnp.arange(t_tiles, dtype=jnp.int32)
+# ---------------------------------------------------------------------------
+# Pure-jnp twins (CPU path + parity tests) — same chunk math, vmapped
+# ---------------------------------------------------------------------------
 
-    def one(t, ent, go, gw):
-        pxc, pyc = _tile_pixels(t, tiles_x, tile_size)
-        return _tile_bwd_math(ent, go, gw, pxc, pyc)
+def _fwd_one_tile(t, ent, tiles_x: int, tile_size: int):
+    """Chunk-faithful forward for ONE tile: ent [F_ROWS, C]."""
+    c = ent.shape[-1]
+    nc = n_chunks(c)
+    orows = o_rows(nc)
+    p = tile_size * tile_size
+    pxc, pyc = _tile_pixels(t, tiles_x, tile_size)
+    out = jnp.zeros((orows, p), jnp.float32)
+    wm = jnp.zeros((8, c), jnp.float32)
+    cl = jnp.zeros((p, 1), jnp.float32)
+    cw = jnp.zeros((p, 1), jnp.float32)
+    cwd = jnp.zeros((p, 1), jnp.float32)
+    for j in range(nc):
+        e = ent[:, j * CHUNK:(j + 1) * CHUNK]
+        act = _chunk_active(e, cl).astype(jnp.float32)
+        out10, wmax_row, cl1, cw1, cwd1 = _chunk_fwd(e, pxc, pyc, cl, cw, cwd)
+        out = out.at[0:10].add(act * out10)
+        out = out.at[10 + j].set(
+            jnp.where(act > 0, cl[:, 0], out[10 + j])
+        )
+        out = out.at[10 + nc + j].set(
+            jnp.where(act > 0, cw[:, 0], out[10 + nc + j])
+        )
+        wm = wm.at[0, j * CHUNK:(j + 1) * CHUNK].set(act * wmax_row)
+        wm = wm.at[1, j * CHUNK:(j + 1) * CHUNK].set(act)
+        cl = jnp.where(act > 0, cl1, cl)
+        cw = jnp.where(act > 0, cw1, cw)
+        cwd = jnp.where(act > 0, cwd1, cwd)
+    return out, wm
 
-    return jax.vmap(one)(tids, entries_t, g_out, g_wmax)
+
+def _bwd_one_tile(t, ent, out_vals, wm_vals, go, gw, tiles_x: int,
+                  tile_size: int):
+    c = ent.shape[-1]
+    nc = n_chunks(c)
+    p = tile_size * tile_size
+    pxc, pyc = _tile_pixels(t, tiles_x, tile_size)
+    sfx_wd = jnp.zeros((p, 1), jnp.float32)
+    sfx_wg = jnp.zeros((p, 1), jnp.float32)
+    tot_w = out_vals[6][:, None]
+    tot_wd = out_vals[7][:, None]
+    d_ent = jnp.zeros((F_ROWS, c), jnp.float32)
+    for cj in reversed(range(nc)):
+        sl = slice(cj * CHUNK, (cj + 1) * CHUNK)
+        e = ent[:, sl]
+        act = (wm_vals[1, sl][0] > 0).astype(jnp.float32)
+        cl0 = out_vals[10 + cj][:, None]
+        cw0 = out_vals[10 + nc + cj][:, None]
+        d, nwd, nwg = _chunk_bwd(
+            e, pxc, pyc, cl0, cw0, tot_w, tot_wd, sfx_wd, sfx_wg,
+            wm_vals[0, sl], go, gw[0, sl],
+        )
+        d_ent = d_ent.at[:, sl].set(act * d)
+        sfx_wd = jnp.where(act > 0, nwd, sfx_wd)
+        sfx_wg = jnp.where(act > 0, nwg, sfx_wg)
+    return d_ent
+
+
+def composite_fwd_reference(entries_t, tiles_x: int, tile_size: int):
+    """Vmapped pure-JAX twin of the chunked forward (tests/CPU)."""
+    tids = jnp.arange(entries_t.shape[0], dtype=jnp.int32)
+    return jax.vmap(
+        lambda t, e: _fwd_one_tile(t, e, tiles_x, tile_size)
+    )(tids, entries_t)
+
+
+def composite_bwd_reference(entries_t, out_vals, wm_vals, g_out, g_wmax,
+                            tiles_x: int, tile_size: int):
+    """Vmapped pure-JAX twin of the chunked analytic backward."""
+    tids = jnp.arange(entries_t.shape[0], dtype=jnp.int32)
+    return jax.vmap(
+        lambda t, e, ov, wv, go, gw: _bwd_one_tile(
+            t, e, ov, wv, go, gw, tiles_x, tile_size
+        )
+    )(tids, entries_t, out_vals, wm_vals, g_out, g_wmax)
 
 
 def _composite_ref_jax(entries_t: jnp.ndarray, tiles_x: int, tile_size: int,
                        tile_batch: int = 16, remat: bool = True):
-    """Pure-JAX reference with identical in/out layout (parity tests and the
-    autodiff cross-check of the analytic backward)."""
+    """Independent full-width (unchunked) reference with the same
+    channel-row layout — the autodiff cross-check of the analytic backward.
+    Carry rows (10+) are left zero; compare rows 0..9 and wmax row 0."""
+    from ...gs.rasterize_jax import composite, pixel_weights_from_coeffs
+
     t_tiles, f_rows, c = entries_t.shape
+    nc = n_chunks(c)
+    orows = o_rows(nc)
     p = tile_size * tile_size
     lx = jnp.arange(tile_size, dtype=jnp.float32)
     pix_dx = jnp.tile(lx, tile_size) + 0.5
@@ -415,7 +606,7 @@ def _composite_ref_jax(entries_t: jnp.ndarray, tiles_x: int, tile_size: int,
         alpha, depth = jax.vmap(pixel_weights_from_coeffs)(px, py, coeffs)
         feats = jnp.swapaxes(e[:, 15:21], -1, -2)          # [B, C, 6]
         res = jax.vmap(composite)(alpha, feats, depth)
-        out = jnp.zeros((e.shape[0], O_ROWS, p), jnp.float32)
+        out = jnp.zeros((e.shape[0], orows, p), jnp.float32)
         out = out.at[:, 0:6].set(jnp.swapaxes(res["out"], -1, -2))
         out = out.at[:, 6].set(res["alpha"][..., 0])
         out = out.at[:, 7].set(res["depth"][..., 0])
@@ -435,27 +626,28 @@ def _composite_ref_jax(entries_t: jnp.ndarray, tiles_x: int, tile_size: int,
          ent.reshape(nb, tile_batch, f_rows, c)),
     )
     return (
-        outs.reshape(-1, O_ROWS, p)[:t_tiles],
+        outs.reshape(-1, orows, p)[:t_tiles],
         wms.reshape(-1, 8, c)[:t_tiles],
     )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def tile_composite(entries_t, tiles_x: int, tile_size: int):
-    """Differentiable fused tile compositing; Pallas forward on TPU with a
-    hand-derived analytic Pallas backward."""
+    """Differentiable fused tile compositing; chunked early-stop Pallas
+    forward with a hand-derived analytic chunked Pallas backward."""
     return _composite_fwd_pallas(entries_t, tiles_x, tile_size)
 
 
 def _tc_fwd(entries_t, tiles_x, tile_size):
-    out = _composite_fwd_pallas(entries_t, tiles_x, tile_size)
-    return out, entries_t
+    out, wm = _composite_fwd_pallas(entries_t, tiles_x, tile_size)
+    return (out, wm), (entries_t, out, wm)
 
 
-def _tc_bwd(tiles_x, tile_size, entries_t, g):
+def _tc_bwd(tiles_x, tile_size, res, g):
+    entries_t, out, wm = res
     g_out, g_wmax = g
     d_entries = _composite_bwd_pallas(
-        entries_t, g_out, g_wmax, tiles_x, tile_size
+        entries_t, out, wm, g_out, g_wmax, tiles_x, tile_size
     )
     return (d_entries,)
 
@@ -465,4 +657,4 @@ tile_composite.defvjp(_tc_fwd, _tc_bwd)
 
 def tile_composite_reference(entries_t, tiles_x: int, tile_size: int):
     """Same contract, fully pure-JAX (CPU and parity tests)."""
-    return _composite_ref_jax(entries_t, tiles_x, tile_size)
+    return composite_fwd_reference(entries_t, tiles_x, tile_size)

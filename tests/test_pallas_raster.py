@@ -121,28 +121,59 @@ def _entries_from_scene(n=60, seed=7, tile_cap=128, tile_expand=32):
     return entries_t.astype(jnp.float32), tiles_x
 
 
+def test_chunked_forward_matches_unchunked_reference():
+    """The chunk-faithful twin (and thus the Pallas kernel) reproduces the
+    independent full-width reference on channel rows and wmax row 0."""
+    entries_t, tiles_x = _entries_from_scene()
+    # Tolerances: a 1-ulp difference in the log-transmittance cumsum between
+    # backends (vmapped-batched vs single matmul) can flip one entry's
+    # T_EPS keep-gate; the flipped weight is <= T_EPS but multiplies the
+    # (unbounded) intersection depth, so depth/distort channels can move by
+    # ~T_EPS * depth. 5e-3 absolute covers it at this scene's depth range.
+    out_ref, wm_ref_ = R._composite_ref_jax(entries_t, tiles_x, 16)
+    out_ch, wm_ch = R.composite_fwd_reference(entries_t, tiles_x, 16)
+    np.testing.assert_allclose(
+        np.asarray(out_ch[:, :10]), np.asarray(out_ref[:, :10]),
+        atol=5e-3, rtol=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(wm_ch[:, 0]), np.asarray(wm_ref_[:, 0]), atol=1e-6
+    )
+    # interpreter-mode Pallas forward vs the twin (same flip caveat)
+    out_p, wm_p = R._composite_fwd_pallas(entries_t, tiles_x, 16)
+    np.testing.assert_allclose(
+        np.asarray(out_p), np.asarray(out_ch), atol=5e-3, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(wm_p), np.asarray(wm_ch), atol=1e-6
+    )
+
+
 def test_analytic_backward_matches_autodiff():
-    """d_entries from the hand-derived backward == jax.vjp of the pure-JAX
-    reference, under random cotangents on EVERY output channel (incl. the
-    median and per-splat max-weight paths)."""
+    """d_entries from the hand-derived chunked backward == jax.vjp of the
+    pure-JAX reference, under random cotangents on EVERY output channel
+    (incl. the median and per-splat max-weight paths)."""
     entries_t, tiles_x = _entries_from_scene()
     t_tiles, _, c = entries_t.shape
+    nc = R.n_chunks(c)
+    orows = R.o_rows(nc)
 
     out, vjp = jax.vjp(
         lambda e: R._composite_ref_jax(e, tiles_x, 16), entries_t
     )
     kg = jax.random.PRNGKey(11)
     k1, k2 = jax.random.split(kg)
-    g_out = jax.random.normal(k1, out[0].shape) * jnp.array(
-        [1, 1, 1, 1, 1, 1, 0.3, 0.3, 0.3, 0.1, 0, 0, 0, 0, 0, 0]
-    ).reshape(1, R.O_ROWS, 1)
+    row_w = np.zeros((orows,), np.float32)
+    row_w[:10] = [1, 1, 1, 1, 1, 1, 0.3, 0.3, 0.3, 0.1]
+    g_out = jax.random.normal(k1, out[0].shape) * row_w.reshape(1, orows, 1)
     g_wmax = jax.random.normal(k2, out[1].shape) * jnp.array(
         [1.0, 0, 0, 0, 0, 0, 0, 0]
     ).reshape(1, 8, 1)
     (d_auto,) = vjp((g_out, g_wmax))
 
+    out_vals, wm_vals = R.composite_fwd_reference(entries_t, tiles_x, 16)
     d_analytic = R.composite_bwd_reference(
-        entries_t, g_out, g_wmax, tiles_x, 16
+        entries_t, out_vals, wm_vals, g_out, g_wmax, tiles_x, 16
     )
     # f32 summation-order differs (matmul-cumsum vs autodiff chain) and the
     # near-edge-on coefficient gradients are ill-conditioned (inv_sz^2 ~ 1e18
@@ -154,8 +185,14 @@ def test_analytic_backward_matches_autodiff():
     assert not bad.any(), f"{bad.sum()} grad elements beyond tolerance"
 
     # interpreter-mode Pallas kernel == the vmapped twin (same tolerance:
-    # the interpreter lowers the matmuls with different accumulation order)
-    d_pallas = R._composite_bwd_pallas(entries_t, g_out, g_wmax, tiles_x, 16)
+    # the interpreter lowers the matmuls with different accumulation order).
+    # The Pallas backward replays the forward from ITS OWN forward's saved
+    # carries (as custom_vjp pairs them in production) — feeding it the
+    # twin's carries would break the bit-exact keep-gate/tie replay.
+    out_pp, wm_pp = R._composite_fwd_pallas(entries_t, tiles_x, 16)
+    d_pallas = R._composite_bwd_pallas(
+        entries_t, out_pp, wm_pp, g_out, g_wmax, tiles_x, 16
+    )
     p = np.asarray(d_pallas)
     tol = 2e-3 * np.abs(a) + 1e-4 * max(np.abs(a).max(), 1.0)
     bad = np.abs(p - a) > tol
