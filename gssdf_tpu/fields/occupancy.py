@@ -27,16 +27,24 @@ import numpy as np
 from .sdf_field import MapGeometry
 
 
+_COARSE_BLOCK = 8  # fine voxels per coarse-block edge (two-level raymarch)
+
+
 @dataclass
 class OccupancyGrid:
     packed: jnp.ndarray      # [R, R, R//32] uint32, bit k of word = voxel z=k
     packed_core: jnp.ndarray  # erosion of packed: all 27 neighbors occupied
+    packed_coarse: jnp.ndarray  # [Rc, Rc, Rc//32] max-pool by _COARSE_BLOCK
     resolution: int
     geom: MapGeometry
 
     @property
     def leaf(self) -> float:
         return self.geom.map_size / self.resolution
+
+    @property
+    def coarse_resolution(self) -> int:
+        return self.resolution // _COARSE_BLOCK
 
 
 def _pack_bits(grid: np.ndarray) -> np.ndarray:
@@ -74,9 +82,17 @@ def build_occupancy_grid(
     core = ndimage.binary_erosion(
         grid, structure=np.ones((3, 3, 3), bool), border_value=0
     )
+    # coarse max-pool for the two-level march (the empty-space skip the
+    # reference gets from the kaolin SPC octree hierarchy)
+    b = _COARSE_BLOCK
+    rc = resolution // b
+    coarse = grid[: rc * b, : rc * b, : rc * b].reshape(
+        rc, b, rc, b, rc, b
+    ).any(axis=(1, 3, 5))
     return OccupancyGrid(
         packed=jnp.asarray(_pack_bits(grid)),
         packed_core=jnp.asarray(_pack_bits(core)),
+        packed_coarse=jnp.asarray(_pack_bits(coarse)),
         resolution=resolution,
         geom=geom,
     )
@@ -104,6 +120,21 @@ def valid_mask(grid: OccupancyGrid, xyz: jnp.ndarray, core: bool = False):
     return occupancy_query(packed, grid.resolution, grid.geom, xyz)
 
 
+def _rank_compact(mask, vals, cap, fill=0.0):
+    """First ``cap`` True entries per row, in order: [N, S] -> [N, cap]."""
+    n = mask.shape[0]
+    order = jnp.cumsum(mask, axis=1)  # 1-based rank among hits
+    keep = mask & (order <= cap)
+    slot = jnp.where(keep, order - 1, cap)  # dump overflow in slot `cap`
+    out = jnp.full((n, cap + 1), fill, dtype=vals.dtype)
+    out = out.at[jnp.arange(n)[:, None], slot].set(
+        jnp.where(keep, vals, fill), mode="drop"
+    )
+    count = jnp.minimum(order[:, -1], cap)
+    outm = jnp.arange(cap, dtype=jnp.int32)[None, :] < count[:, None]
+    return out[:, :cap], outm
+
+
 def raymarch(
     grid: OccupancyGrid,
     origins: jnp.ndarray,      # [N, 3]
@@ -113,39 +144,93 @@ def raymarch(
     max_steps: int,
     max_hits: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Jittered fixed-step march through occupied voxels.
+    """Two-level jittered march through occupied voxels.
 
-    Steps of one leaf size visit each voxel along the ray ~once; a uniform
-    jitter per step reproduces kaolin's random-point-in-voxel sampling
-    (OctreeAS::raymarch "voxel" mode with num_samples=1,
-    local_map.cpp:467-475) in expectation.
+    Level 1 probes the COARSE block grid (max-pool of _COARSE_BLOCK^3
+    voxels) at half-block spacing and keeps the first ``max_hits`` occupied
+    blocks; level 2 marches leaf-sized jittered steps only across those
+    blocks' ray spans (AABB slab bounds). This is the TPU dense-grid analog
+    of the reference's sparse-octree empty-space skip (OctreeAS::raymarch
+    "voxel" mode, local_map.cpp:467-475): per-voxel sampling density matches
+    the single-level fixed-step march in expectation, at ~1/2 the occupancy
+    lookups of a full-range leaf-step march (TPU gathers cost per ROW, so
+    lookup count is the whole cost). Blocks whose ray segment is shorter
+    than the half-block probe spacing can be missed stochastically — the
+    same corner-clipping behavior a jittered fixed-step march has at leaf
+    scale.
 
     Returns (t_hits [N, max_hits], hit_mask [N, max_hits]) — fixed shapes,
     first ``max_hits`` occupied-voxel crossings in front of ``t_max``.
     """
     n = origins.shape[0]
-    step = grid.leaf
-    jitter = jax.random.uniform(key, (n, max_steps))
-    ts = (jnp.arange(max_steps, dtype=jnp.float32)[None, :] + jitter) * step
-    pos = origins[:, None, :] + dirs[:, None, :] * ts[..., None]  # [N, S, 3]
-    occ = occupancy_query(
-        grid.packed, grid.resolution, grid.geom, pos.reshape(-1, 3)
-    ).reshape(n, max_steps)
-    mask = occ & (ts < t_max)
+    leaf = grid.leaf
+    b = _COARSE_BLOCK
+    bsize = b * leaf
+    rc = grid.coarse_resolution
+    kc, kf = jax.random.split(key)
 
-    # fixed-capacity compaction: k-th True lands in output slot k
-    order = jnp.cumsum(mask, axis=1)  # 1-based rank among hits
-    keep = mask & (order <= max_hits)
-    slot = jnp.where(keep, order - 1, max_hits)  # dump overflow in slot M
-    out_t = jnp.zeros((n, max_hits + 1), dtype=ts.dtype)
-    out_t = out_t.at[jnp.arange(n)[:, None], slot].set(
-        jnp.where(keep, ts, 0.0), mode="drop"
+    # ---- level 1: coarse block probes at half-block spacing -------------
+    sc = -(-(max_steps * 2) // b)
+    jit_c = jax.random.uniform(kc, (n, sc))
+    ts_c = (jnp.arange(sc, dtype=jnp.float32)[None, :] + jit_c) * (bsize / 2)
+    pos_c = origins[:, None, :] + dirs[:, None, :] * ts_c[..., None]
+    zp1 = grid.geom.xyz_to_zp1(pos_c.reshape(-1, 3))
+    bc = jnp.floor(zp1 * rc).astype(jnp.int32)
+    inside = jnp.all((bc >= 0) & (bc < rc), axis=-1)
+    bcc = jnp.clip(bc, 0, rc - 1)
+    word = grid.packed_coarse[bcc[:, 0], bcc[:, 1], bcc[:, 2] >> 5]
+    occ_c = (
+        ((word >> (bcc[:, 2] & 31).astype(jnp.uint32)) & jnp.uint32(1)) == 1
+    ) & inside
+    occ_c = occ_c.reshape(n, sc)
+    bid = (
+        (bcc[:, 0] * rc + bcc[:, 1]) * rc + bcc[:, 2]
+    ).reshape(n, sc)
+    # a block may start before t_max even when its probe lands past it
+    probe_ok = ts_c < (t_max + bsize * 1.7321)
+    occ_c = occ_c & probe_ok
+    # dedupe consecutive probes inside the same block
+    first = occ_c & jnp.concatenate(
+        [
+            jnp.ones((n, 1), bool),
+            (bid[:, 1:] != bid[:, :-1]) | ~occ_c[:, :-1],
+        ],
+        axis=1,
     )
-    hit_count = jnp.minimum(order[:, -1], max_hits)
-    hit_mask = (
-        jnp.arange(max_hits, dtype=jnp.int32)[None, :] < hit_count[:, None]
+    blk, blk_mask = _rank_compact(first, bid, max_hits, fill=-1)  # [N, H]
+
+    # ---- slab bounds of each hit block along the ray ---------------------
+    bz = blk % rc
+    by = (blk // rc) % rc
+    bx = blk // (rc * rc)
+    corner = (
+        jnp.stack([bx, by, bz], axis=-1).astype(jnp.float32) / rc - 0.5
+    ) * grid.geom.map_size + jnp.asarray(
+        grid.geom.origin, jnp.float32
+    )                                                   # [N, H, 3] world lo
+    d_safe = jnp.where(jnp.abs(dirs) > 1e-9, dirs, 1e-9)[:, None, :]
+    ta = (corner - origins[:, None, :]) / d_safe
+    tb = (corner + bsize - origins[:, None, :]) / d_safe
+    t0 = jnp.maximum(jnp.max(jnp.minimum(ta, tb), axis=-1), 0.0)  # [N, H]
+    t1 = jnp.min(jnp.maximum(ta, tb), axis=-1)
+
+    # ---- level 2: leaf-step jittered march across each block span -------
+    sf = int(np.ceil(b * np.sqrt(3.0))) + 1
+    jit_f = jax.random.uniform(kf, (n, max_hits, sf))
+    ts_f = t0[..., None] + (
+        jnp.arange(sf, dtype=jnp.float32)[None, None, :] + jit_f
+    ) * leaf                                            # [N, H, Sf]
+    ok_f = (
+        blk_mask[..., None]
+        & (ts_f < t1[..., None])
+        & (ts_f < t_max[..., None])
     )
-    return out_t[:, :max_hits], hit_mask
+    pos_f = origins[:, None, None, :] + dirs[:, None, None, :] * ts_f[..., None]
+    occ_f = occupancy_query(
+        grid.packed, grid.resolution, grid.geom, pos_f.reshape(-1, 3)
+    ).reshape(n, max_hits, sf)
+    hit = (occ_f & ok_f).reshape(n, max_hits * sf)
+    return _rank_compact(hit, ts_f.reshape(n, max_hits * sf), max_hits)
 
 
 def occupied_voxel_centers(grid: OccupancyGrid) -> np.ndarray:

@@ -149,8 +149,9 @@ def sorted_segment_sum_pallas(
     keys_p = jnp.full((r_pad,), s_pad, jnp.int32).at[:r].set(keys_sorted)
     vals_p = jnp.zeros((feat, r_pad), jnp.float32).at[:, :r].set(vals_sorted)
     # one packed int32 stream: row 0 = keys, rows 1..F = bit-cast values;
-    # sublane dim padded to the tile (4 or 8) for legal full-dim0 slices
-    pack_rows = 4 if feat + 1 <= 4 else 8
+    # sublane dim padded to the tile (4, or a multiple of 8) for legal
+    # full-dim0 slices
+    pack_rows = 4 if feat + 1 <= 4 else _round_up(feat + 1, 8)
     pack = jnp.concatenate(
         [keys_p[None], jax.lax.bitcast_convert_type(vals_p, jnp.int32)]
         + [jnp.zeros((pack_rows - feat - 1, r_pad), jnp.int32)]
@@ -180,8 +181,7 @@ def sorted_segment_sum_pallas(
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
-                pltpu.VMEM((2, 4 if feat + 1 <= 4 else 8, chunk),
-                           jnp.int32),
+                pltpu.VMEM((2, pack_rows, chunk), jnp.int32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
