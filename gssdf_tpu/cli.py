@@ -24,6 +24,8 @@ def cmd_train(args):
         cfg.sdf_iter_step = args.iters
     if args.gs_iters is not None:
         cfg.gs_iter_step = args.gs_iters
+    if getattr(args, "mesh", None) is not None:
+        cfg.mesh_shape = {"data": args.mesh}
     print(f"run dir: {cfg.output_path}")
     pipe = Pipeline(cfg)
     pipe.batch_train()
@@ -170,6 +172,14 @@ def cmd_render(args):
             str(out_dir / "depth" / f"{i:05d}.png"),
             cv2.applyColorMap(d8, cv2.COLORMAP_TURBO),
         )
+    from .eval.tools import write_video
+
+    for src, name in (("color", "render_color.mp4"),
+                      ("depth", "render_depth.mp4")):
+        try:
+            write_video(out_dir / src, out_dir / name, fps=args.fps)
+        except Exception as e:  # pragma: no cover - codec-dependent
+            print(f"video {name} failed: {e}")
     print(f"rendered {len(pf.poses)} frames -> {out_dir}")
 
 
@@ -220,6 +230,8 @@ def main(argv=None):
                     help="override sdf_iter_step")
     pt.add_argument("--gs-iters", type=int, default=None,
                     help="override gs_iter_step")
+    pt.add_argument("--mesh", type=int, default=None,
+                    help="data-parallel devices (0 = all local devices)")
     pt.set_defaults(fn=cmd_train)
 
     pv = sub.add_parser("view")

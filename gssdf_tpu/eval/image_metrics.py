@@ -5,8 +5,11 @@ Reference analog: eval/image_metrics/{metrics.py:25-157, metrics_single.py}:
 aggregate jsons (render_eval.json, render_eval_per_view.json, appended
 evaluation_results.json / all_evaluation_results.json).
 
-LPIPS needs pretrained VGG weights; with no network egress it is gated —
-``None`` when unavailable (the reference shells to the lpips package).
+LPIPS: the full VGG16 metric is implemented in JAX (lpips_jax.py) and
+loads pretrained weights from ``GSSDF_LPIPS_WEIGHTS`` / weights/lpips_vgg.npz
+(the lpips torch package is used instead when installed). With neither —
+this sealed environment has no egress and ships no VGG weights — eval jsons
+carry ``LPIPS: null`` plus an explicit ``LPIPS_note``.
 """
 
 from __future__ import annotations
@@ -54,7 +57,14 @@ def image_ssim(render: np.ndarray, gt: np.ndarray) -> float:
 def image_lpips(render: np.ndarray, gt: np.ndarray) -> Optional[float]:
     model = _get_lpips()
     if model is None:
-        return None
+        from .lpips_jax import get_lpips_fn
+
+        fn = get_lpips_fn()
+        if fn is None:
+            return None
+        import jax.numpy as jnp
+
+        return float(fn(jnp.asarray(render), jnp.asarray(gt)))
     import torch  # pragma: no cover
 
     def t(x):
@@ -109,6 +119,14 @@ def evaluate_dirs(scene_dir, write_json: bool = True) -> Dict[str, float]:
         "SSIM": float(np.mean(ssims)),
         "PSNR": float(np.mean(psnrs)),
         "LPIPS": float(np.mean(lpipss)) if lpipss else None,
+        **(
+            {}
+            if lpipss
+            else {
+                "LPIPS_note": "unavailable: no lpips package and no "
+                "VGG-LPIPS weights (GSSDF_LPIPS_WEIGHTS)"
+            }
+        ),
         f"Max PSNR {names[i_max]}:": float(psnrs[i_max]),
         f"Min PSNR {names[i_min]}:": float(psnrs[i_min]),
     }

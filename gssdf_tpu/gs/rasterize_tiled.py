@@ -158,14 +158,22 @@ def tile_encode(
     )
     vals = pay_pad[jnp.minimum(src, e_total)]
     tile_lists = jnp.where(in_seg, vals, n)
-    counts = jnp.minimum(starts[1:] - starts[:-1], tile_cap).astype(jnp.int32)
+    raw_counts = starts[1:] - starts[:-1]
+    counts = jnp.minimum(raw_counts, tile_cap).astype(jnp.int32)
+    # tile-cap telemetry: fraction of candidate entries silently dropped by
+    # the fixed capacity (the CUDA reference's lists are unbounded — a
+    # saturated budget must be visible in the train log, not silent)
+    total_entries = jnp.maximum(jnp.sum(raw_counts), 1)
+    drop_frac = (
+        jnp.sum(jnp.maximum(raw_counts - tile_cap, 0)) / total_entries
+    ).astype(jnp.float32)
     # splats that made it into >=1 tile list — capacity-dropped splats must
     # not be judged "invisible" by the pruner (no reference analog: the CUDA
     # rasterizer has unbounded tile lists)
     binned = jnp.zeros((n + 1,), bool).at[
         tile_lists.reshape(-1)
     ].set(True, mode="drop")[:n]
-    return tile_lists, counts, binned
+    return tile_lists, counts, binned, drop_frac
 
 
 def rasterize_tiled(
@@ -214,7 +222,7 @@ def rasterize_tiled(
     if pix_delta is None:
         pix_delta = jnp.zeros((n, 2), means2d.dtype)
 
-    tile_lists, _, binned = tile_encode(
+    tile_lists, _, binned, drop_frac = tile_encode(
         means2d,
         radii,
         jax.lax.stop_gradient(depths),
@@ -336,4 +344,5 @@ def rasterize_tiled(
         "distort": img[..., 9:10],
         "visibilities": vis[:n],
         "binned": binned,
+        "drop_frac": drop_frac,
     }

@@ -150,4 +150,5 @@ def render_splats(
         "visible": visible,
         "binned": res["binned"],
         "radii": proj.radii,
+        "drop_frac": res["drop_frac"],
     }

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..fields.occupancy import OccupancyGrid, valid_mask
-from ..fields.sampling import RayBatch, sample_points
+from ..fields.sampling import RayBatch, compact_samples, sample_points
 from ..fields.sdf_field import MapGeometry, sdf_apply
 from ..gs.model import SplatModel
 from ..gs.render import render_splats
@@ -43,7 +43,7 @@ def make_sharded_sdf_train_step(
 
     def step_impl(params, opt_state, ray_origin, ray_dir, ray_depth, key,
                   sample_std, lr):
-        kidx, ksamp = jax.random.split(key)
+        kreg, ksamp = jax.random.split(key)
         rays = RayBatch(
             origin=ray_origin,
             direction=ray_dir,
@@ -60,9 +60,16 @@ def make_sharded_sdf_train_step(
             truncated_dis=spec.truncated_dis,
             inner_half_extent=spec.inner_half_extent,
         )
+        if spec.point_budget > 0:
+            # compaction sorts globally; pin the result back to the data
+            # axis so the (dominant) hash-grid encode stays sharded
+            samples = compact_samples(samples, spec.point_budget)
+            samples = jax.lax.with_sharding_constraint(
+                samples, NamedSharding(mesh, P("data"))
+            )
 
         def loss_fn(p):
-            return sdf_losses(p, samples, geom, spec, sample_std)
+            return sdf_losses(p, samples, geom, spec, sample_std, kreg)
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         params2, opt2 = adam_update(grads, opt_state, params, lr)
@@ -98,6 +105,8 @@ def make_multicam_gs_train_step(
         ray_origin, ray_dir, ray_depth,
         key, sample_std, sdf_lr, xyz_lr,
         sh_active: int, opt_struct: bool,
+        color_only: bool = False,
+        mask=None,     # [H, W, 1] dataset image mask (replicated) or None
     ):
         b = gt_images.shape[0]
         kr, ksamp, kreg = jax.random.split(key, 3)
@@ -120,6 +129,12 @@ def make_multicam_gs_train_step(
                 truncated_dis=spec.sdf.truncated_dis,
                 inner_half_extent=spec.sdf.inner_half_extent,
             )
+            if spec.sdf.point_budget > 0:
+                samples = compact_samples(samples, spec.sdf.point_budget)
+                if mesh is not None:
+                    samples = jax.lax.with_sharding_constraint(
+                        samples, NamedSharding(mesh, P("data"))
+                    )
 
         c = state.alive.shape[0]
 
@@ -145,7 +160,10 @@ def make_multicam_gs_train_step(
                 )
                 gs_loss, img_aux = gs_image_losses(
                     render, gt, params["gs"].scaling, render["visible"],
-                    cam, pose, spec, opt_struct,
+                    cam, pose, spec, opt_struct, mask=mask,
+                )
+                img_aux["drop_frac"] = jax.lax.stop_gradient(
+                    render["drop_frac"]
                 )
                 gs_sdf_terms = {}
                 if spec.gs_sdf_reg:
@@ -205,7 +223,9 @@ def make_multicam_gs_train_step(
         g_params, g_pixdelta = grads
         radii_b, vis_b, visible_b = meta_b
 
-        lr_tree = gs_lr_tree(spec, state.params["sdf"], sdf_lr, xyz_lr)
+        lr_tree = gs_lr_tree(
+            spec, state.params["sdf"], sdf_lr, xyz_lr, color_only
+        )
         params2, opt2 = adam_update(g_params, state.opt, state.params, lr_tree)
 
         # accumulate densify stats over all B cameras
@@ -228,14 +248,15 @@ def make_multicam_gs_train_step(
 
     if mesh is None:
         return jax.jit(
-            step_impl, static_argnames=("sh_active", "opt_struct")
+            step_impl,
+            static_argnames=("sh_active", "opt_struct", "color_only"),
         )
     rep = NamedSharding(mesh, P())
     shard = NamedSharding(mesh, P("data"))
     return jax.jit(
         step_impl,
-        static_argnames=("sh_active", "opt_struct"),
+        static_argnames=("sh_active", "opt_struct", "color_only"),
         in_shardings=(rep, shard, shard, shard, shard, shard, rep, rep, rep,
-                      rep),
+                      rep, rep),
         out_shardings=(rep, rep),
     )

@@ -264,6 +264,8 @@ def make_gs_train_step(
                 mask=mask,
             )
             aux.update(img_aux)
+            # tile-cap telemetry (no reference analog: CUDA lists unbounded)
+            aux["drop_frac"] = jax.lax.stop_gradient(render["drop_frac"])
 
             # GS->SDF mutual consistency (neural_mapping.cpp:420-462)
             if spec.gs_sdf_reg:
@@ -486,20 +488,46 @@ def sdf_lr_at(spec: GSTrainSpec, xyz_lr: float) -> float:
     return min(xyz_lr, spec.lr_end)
 
 
+def _crossed(iter_num: int, stride: int, every: int) -> bool:
+    """Did the [iter_num - stride, iter_num] window cross a multiple of
+    ``every``? Generalizes ``iter_num % every == 0`` to multi-image steps
+    (stride = cameras per step on a mesh)."""
+    if every <= 0:
+        return False
+    return (iter_num // every) != ((iter_num - stride) // every)
+
+
 class GSTrainer:
     """Host-side schedule around the jitted step — the train_callback logic
     (neural_gaussian.cpp:568-624) with masked refine ops instead of
-    shape-changing surgery."""
+    shape-changing surgery.
 
-    def __init__(self, spec: GSTrainSpec, geom, grid, cam: Camera):
+    With ``mesh``, the step renders one camera per chip per step
+    (parallel/train.py) and every reference schedule keeps its single-image
+    units: iteration counters advance by ``batch`` per step and triggers
+    fire on multiple-crossings instead of exact hits.
+    """
+
+    def __init__(self, spec: GSTrainSpec, geom, grid, cam: Camera, mesh=None):
         self.spec = spec
-        self.step_fn = make_gs_train_step(spec, geom, grid, cam)
+        self.mesh = mesh
+        self.batch = int(mesh.devices.size) if mesh is not None else 1
+        if mesh is not None:
+            from ..parallel.train import make_multicam_gs_train_step
+
+            self.step_fn = make_multicam_gs_train_step(
+                spec, geom, grid, cam, mesh
+            )
+        else:
+            self.step_fn = make_gs_train_step(spec, geom, grid, cam)
         self.refine_fn, self.prune_inv_fn, self.reset_fn = make_refine_fns(spec)
 
     def sh_active(self, iter_num: int) -> int:
         return min(self.spec.sh_degree, iter_num // self.spec.sh_degree_interval)
 
-    def callback(self, state: GSState, iter_num: int, key) -> Tuple[GSState, Dict]:
+    def callback(
+        self, state: GSState, iter_num: int, key, stride: int = 1
+    ) -> Tuple[GSState, Dict]:
         """Post-step refine schedule. Returns possibly-updated state."""
         spec = self.spec
         info: Dict[str, Any] = {}
@@ -507,19 +535,19 @@ class GSTrainer:
         if iter_num >= refine_stop or iter_num <= 0:
             return state, info
 
-        if iter_num % spec.num_train_data == 0:
+        if _crossed(iter_num, stride, spec.num_train_data):
             state, n = self.prune_inv_fn(state)
             info["n_prune_invisible"] = int(n)
 
         if (
             iter_num > spec.refine_start_iter
-            and iter_num % spec.refine_every == 0
+            and _crossed(iter_num, stride, spec.refine_every)
             and (iter_num % spec.reset_every) >= spec.pause_refine_after_reset
         ):
             state, rinfo = self.refine_fn(state, key, jnp.int32(iter_num))
             info.update({k: int(v) for k, v in rinfo.items()})
 
-        if iter_num % spec.reset_every == 0:
+        if _crossed(iter_num, stride, spec.reset_every):
             state = self.reset_fn(state)
             info["opacity_reset"] = 1
         return state, info

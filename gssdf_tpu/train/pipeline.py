@@ -75,6 +75,18 @@ class Pipeline:
         self.cfg = cfg
         self.key = jax.random.PRNGKey(cfg.seed)
         self.loader = DataLoader(cfg) if with_data else None
+        # multi-chip mesh (cfg.mesh_shape, e.g. {"data": 8}; "data": 0 =
+        # all local devices). Parameters replicate; rays/cameras shard.
+        self.mesh = None
+        if cfg.mesh_shape:
+            from jax.sharding import Mesh
+
+            want = int(cfg.mesh_shape.get("data", 0))
+            devs = jax.devices()
+            n = min(want, len(devs)) if want > 0 else len(devs)
+            if n > 1:
+                self.mesh = Mesh(np.asarray(devs[:n]), ("data",))
+                print(f"mesh: data-parallel over {n} devices")
         self.geom: Optional[MapGeometry] = None
         self.grid: Optional[OccupancyGrid] = None
         self.field_spec = SDFFieldSpec.from_config(cfg)
@@ -88,7 +100,6 @@ class Pipeline:
         self._render_jit = jax.jit(
             render_splats, static_argnames=("settings", "training", "center_reg")
         )
-        self._frame_cache: Dict[int, tuple] = {}
 
     # -- setup -------------------------------------------------------------
 
@@ -159,7 +170,19 @@ class Pipeline:
         self.sdf_opt = adam_init(self.sdf_params)
 
     def _sdf_spec(self) -> SDFTrainSpec:
-        return SDFTrainSpec.from_config(self.cfg, self.field_spec)
+        spec = SDFTrainSpec.from_config(self.cfg, self.field_spec)
+        if self.mesh is not None:
+            import dataclasses
+
+            n = int(self.mesh.devices.size)
+            spec = dataclasses.replace(
+                spec,
+                batch_rays=-(-spec.batch_rays // n) * n,
+                point_budget=(
+                    -(-spec.point_budget // n) * n if spec.point_budget else 0
+                ),
+            )
+        return spec
 
     # -- SDF phase ---------------------------------------------------------
 
@@ -170,7 +193,14 @@ class Pipeline:
         cfg = self.cfg
         iters = iters if iters is not None else cfg.sdf_iter_step
         spec = self._sdf_spec()
-        step = make_sdf_train_step(spec, self.geom, self.grid)
+        if self.mesh is not None:
+            from ..parallel.train import make_sharded_sdf_train_step
+
+            step = make_sharded_sdf_train_step(
+                spec, self.geom, self.grid, self.mesh
+            )
+        else:
+            step = make_sdf_train_step(spec, self.geom, self.grid)
         t_iter = LLOG.timer("sdf_iter")
         log_path = (
             Path(cfg.output_path) / "nsdf_log.txt" if cfg.output_path else None
@@ -372,79 +402,83 @@ class Pipeline:
         )
 
     def gs_train(self, iters: Optional[int] = None, log_every: int = 10):
-        """Joint phase (gs_train, neural_mapping.cpp:356-531)."""
+        """Joint phase (gs_train, neural_mapping.cpp:356-531).
+
+        On a mesh, each device step renders one camera per chip (B images
+        advance the reference's per-image iteration counter by B); the host
+        feeds stacked frame batches through a prefetching fetcher so decode
+        stays off the device critical path (the reference preloads the full
+        color stack instead, base_parser.cpp:843-857 — ``preload: true``
+        reproduces that too).
+        """
         cfg = self.cfg
         iters = iters if iters is not None else cfg.gs_iter_step
         spec = self._gs_spec()
-        self.gs_trainer = GSTrainer(spec, self.geom, self.grid, self.loader.camera)
+        self.gs_trainer = GSTrainer(
+            spec, self.geom, self.grid, self.loader.camera, mesh=self.mesh
+        )
         trainer = self.gs_trainer
+        b = trainer.batch
         n_train = self.loader.num_train
         log_path = (
             Path(cfg.output_path) / "gs_log.txt" if cfg.output_path else None
         )
         t_iter = LLOG.timer("gs_iter")
+        mask = self._train_mask()
+
+        def run_step(gt_b, pose_b, sdf_lr, xyz_lr, sh, opt_struct,
+                     color_only):
+            k1, k2 = jax.random.split(self._next_key())
+            rays = pick_ray_batch(self.pack_dev, k1, spec.sdf.batch_rays)
+            if b == 1:
+                return trainer.step_fn(
+                    self.gs_state, jnp.asarray(gt_b[0]),
+                    jnp.asarray(pose_b[0]), *rays, k2, self.sample_std,
+                    sdf_lr, xyz_lr, sh, opt_struct, color_only, mask,
+                )
+            return trainer.step_fn(
+                self.gs_state, jnp.asarray(gt_b), jnp.asarray(pose_b),
+                *rays, k2, self.sample_std, sdf_lr, xyz_lr, sh, opt_struct,
+                color_only, mask,
+            )
 
         # color-init pre-pass: one epoch, structure frozen, feature lrs x10
         # (gs_train, neural_mapping.cpp:369-387)
         if cfg.color_init:
-            r = spec.sdf.batch_rays
-            zero_rays = (
-                jnp.zeros((r, 3)),
-                jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (r, 1)),
-                jnp.full((r, 1), 1.0),
-            )
-            for i in range(n_train):
-                gt, pose = self._cached_frame(i)
-                k1, k2 = jax.random.split(self._next_key())
-                rays = pick_ray_batch(self.pack_dev, k1, spec.sdf.batch_rays)
-                self.gs_state, _aux = trainer.step_fn(
-                    self.gs_state, jnp.asarray(gt), jnp.asarray(pose),
-                    *rays, k2, self.sample_std, 0.0, 0.0, 0, False,
-                    True,
+            order = _frame_order(cfg.seed, n_train, n_train, b)
+            fetch = _FrameFetcher(self.loader, order, b, cfg.preload)
+            for gt_b, pose_b in fetch:
+                self.gs_state, _aux = run_step(
+                    gt_b, pose_b, 0.0, 0.0, 0, False, True
                 )
             self.sdf_params = self.gs_state.params["sdf"]
             print(f"color init: {n_train} iterations")
 
-        # preload gt frames to host-pinned numpy once (preload flag)
-        perm = np.random.RandomState(cfg.seed).permutation(n_train)
+        order = _frame_order(cfg.seed, n_train, iters, b)
+        fetch = _FrameFetcher(self.loader, order, b, cfg.preload)
 
-        for i in range(iters):
+        for i, (gt_b, pose_b) in zip(range(0, iters, b), fetch):
             t_iter.tic()
-            if i % n_train == 0:
-                perm = np.random.RandomState(cfg.seed + i).permutation(n_train)
-            frame = int(perm[i % n_train])
-            gt, pose = self._cached_frame(frame)
-
             xyz_lr = xyz_lr_at(spec, i)
             sdf_lr = sdf_lr_at(spec, xyz_lr)
-            k1, k2 = jax.random.split(self._next_key())
-            rays = pick_ray_batch(self.pack_dev, k1, spec.sdf.batch_rays)
             opt_struct = i > cfg.refine_gs_struct_start_iter
-            self.gs_state, aux = trainer.step_fn(
-                self.gs_state,
-                jnp.asarray(gt),
-                jnp.asarray(pose),
-                *rays,
-                k2,
-                self.sample_std,
-                sdf_lr,
-                xyz_lr,
-                trainer.sh_active(i),
-                opt_struct,
-                mask=self._train_mask(),
+            self.gs_state, aux = run_step(
+                gt_b, pose_b, sdf_lr, xyz_lr, trainer.sh_active(i),
+                opt_struct, False,
             )
             # keep the standalone sdf params view in sync
             self.sdf_params = self.gs_state.params["sdf"]
             self.gs_state, rinfo = trainer.callback(
-                self.gs_state, i, self._next_key()
+                self.gs_state, i, self._next_key(), stride=b
             )
             t_iter.toc_sum()
 
-            if "isigma_mean" in aux and i % log_every == 0:
+            log_now = _fires(i, b, log_every) or i + b >= iters
+            if "isigma_mean" in aux and log_now:
                 self.sample_std = max(
                     1.0 / max(float(aux["isigma_mean"]), 1e-6), cfg.bce_sigma
                 )
-            if i % log_every == 0 or i == iters - 1 or rinfo:
+            if log_now or rinfo:
                 LLOG.record("gs_loss", float(aux["gs_loss"]))
                 LLOG.record("color", float(aux["color"]))
                 LLOG.record("dssim", float(aux["dssim"]))
@@ -452,8 +486,10 @@ class Pipeline:
                     LLOG.record("sdf_nn_loss", float(aux["sdf_nn"]))
                 if "gs_sdf" in aux:
                     LLOG.record("gs_sdf", float(aux["gs_sdf"]))
+                if "drop_frac" in aux:
+                    LLOG.record("drop_frac", float(aux["drop_frac"]))
                 LLOG.record("gs_num", int(jnp.sum(self.gs_state.alive)))
-                if i % (log_every * 50) == 0:
+                if _fires(i, b, log_every * 50):
                     from ..utils.llog import memory_stats
 
                     for k, v in memory_stats().items():
@@ -461,7 +497,7 @@ class Pipeline:
                 if log_path:
                     LLOG.flash(log_path)
 
-            if cfg.export_interval > 0 and i % cfg.export_interval == 0:
+            if cfg.export_interval > 0 and _fires(i, b, cfg.export_interval):
                 p = self.export_test_image(cfg.test_idx, prefix=f"{i}_")
                 if p is not None:
                     LLOG.record("psnr", p)
@@ -486,19 +522,6 @@ class Pipeline:
             else:
                 self._mask_dev = None
         return self._mask_dev
-
-    def _cached_frame(self, k: int, max_cache: int = 64):
-        """Decoded-frame cache: the reference preloads the whole color stack
-        (load_colors, base_parser.cpp:843-857); an LRU keeps host decode off
-        the train loop without pinning gigabytes."""
-        hit = self._frame_cache.get(k)
-        if hit is not None:
-            return hit
-        gt, pose = self.loader.train_frame(k)
-        if len(self._frame_cache) >= max_cache:
-            self._frame_cache.pop(next(iter(self._frame_cache)))
-        self._frame_cache[k] = (gt, pose)
-        return gt, pose
 
     # -- rendering / export ------------------------------------------------
 
@@ -538,9 +561,21 @@ class Pipeline:
         out = self.render_image(pose)
         p = float(psnr_fn(jnp.asarray(out["color"]), jnp.asarray(gt)))
         if self.cfg.output_path:
-            d = Path(self.cfg.output_path) / "gs_log" / "mid" / "color"
-            d.mkdir(parents=True, exist_ok=True)
-            _save_image(d / f"{prefix}render.png", out["color"])
+            import cv2
+
+            from ..eval.tools import depth_colormap
+
+            base = Path(self.cfg.output_path) / "gs_log" / "mid"
+            for d in ("color", "gt", "depth"):
+                (base / d).mkdir(parents=True, exist_ok=True)
+            _save_image(base / "color" / f"{prefix}render.png", out["color"])
+            _save_image(base / "gt" / f"{prefix}gt.png", gt)
+            cv2.imwrite(
+                str(base / "depth" / f"{prefix}depth.png"),
+                cv2.cvtColor(
+                    depth_colormap(out["depth"][..., 0]), cv2.COLOR_RGB2BGR
+                ),
+            )
         return p
 
     def save_mesh(self, resolution: Optional[float] = None, save: bool = True):
@@ -587,18 +622,23 @@ class Pipeline:
 
     def render_path(self, split: str = "train", scale: float = 1.0):
         """Offline render of the train/eval trajectory (render_path,
-        neural_mapping.cpp:1108-1200): writes renders/ + gt/ dirs for eval."""
+        neural_mapping.cpp:1108-1200): writes renders/ + gt/ for the image
+        eval plus depth/ (TURBO) + normal/ dirs and
+        render_color.mp4 / render_depth.mp4 (the reference's output tree,
+        neural_mapping.cpp:910-930,1115-1199)."""
+        import cv2
+
+        from ..eval.tools import depth_colormap, write_video
+
         cfg = self.cfg
         base = Path(cfg.output_path) / "gs_log" / split
-        (base / "renders").mkdir(parents=True, exist_ok=True)
-        (base / "gt").mkdir(parents=True, exist_ok=True)
-        frames = (
-            range(self.loader.num_train)
-            if split == "train"
-            else None
-        )
+        for d in ("renders", "gt", "depth", "normal"):
+            (base / d).mkdir(parents=True, exist_ok=True)
         if split == "train":
-            it = ((self.loader.train_frame(k)) for k in frames)
+            it = (
+                self.loader.train_frame(k)
+                for k in range(self.loader.num_train)
+            )
         else:
             it = self.loader.eval_frames()
         n = 0
@@ -606,7 +646,22 @@ class Pipeline:
             out = self.render_image(pose, scale)
             _save_image(base / "renders" / f"{k:05d}.png", out["color"])
             _save_image(base / "gt" / f"{k:05d}.png", gt)
+            cv2.imwrite(
+                str(base / "depth" / f"{k:05d}.png"),
+                cv2.cvtColor(
+                    depth_colormap(out["depth"][..., 0]), cv2.COLOR_RGB2BGR
+                ),
+            )
+            _save_image(base / "normal" / f"{k:05d}.png",
+                        out["normal"] * 0.5 + 0.5)
             n += 1
+        if n:
+            for src, name in (("renders", "render_color.mp4"),
+                              ("depth", "render_depth.mp4")):
+                try:
+                    write_video(base / src, base / name, fps=cfg.fps)
+                except Exception as e:  # pragma: no cover — codec-dependent
+                    print(f"video {name} failed: {e}")
         return base if n else None
 
     # -- checkpoint --------------------------------------------------------
@@ -755,6 +810,93 @@ class Pipeline:
                         plot_log(lp)
                     except Exception as e:  # pragma: no cover
                         print(f"plot {name} failed: {e}")
+
+
+def _fires(i: int, stride: int, every: int) -> bool:
+    """Schedule trigger for loops advancing ``stride`` iterations per step:
+    true iff [i - stride, i] crossed a multiple of ``every`` (equals
+    ``i % every == 0`` at stride 1)."""
+    return every > 0 and (i // every) != ((i - stride) // every)
+
+
+def _frame_order(seed: int, n_train: int, iters: int, batch: int):
+    """Random-permutation frame schedule covering ``iters`` images, padded
+    up to a whole number of ``batch``-sized steps (the reference reshuffles
+    every epoch, gs_train_batch_iter, neural_mapping.cpp:205-208)."""
+    total = -(-max(iters, 1) // batch) * batch
+    order = []
+    i = 0
+    while len(order) < total:
+        order.extend(
+            np.random.RandomState(seed + i).permutation(n_train).tolist()
+        )
+        i += n_train
+    return order[:total]
+
+
+class _FrameFetcher:
+    """Decoded-frame supply for the GS loop.
+
+    ``preload=True`` decodes the full color stack once (uint8 — the
+    reference's load_colors, base_parser.cpp:843-857); otherwise frames
+    decode on demand. Either way a background thread keeps the next
+    batches assembled while the device step runs, so host decode and H2D
+    staging overlap compute (double-buffered via a bounded queue).
+    """
+
+    def __init__(self, loader, order, batch: int, preload: bool = False,
+                 depth: int = 2):
+        import queue
+        import threading
+
+        self.loader = loader
+        self.order = order
+        self.batch = batch
+        self._pre = None
+        if preload:
+            n = loader.num_train
+            g0, _ = loader.train_frame(0)
+            gts = np.empty((n,) + g0.shape, np.uint8)
+            poses = np.empty((n, 4, 4), np.float32)
+            for k in range(n):
+                g, p = loader.train_frame(k)
+                gts[k] = np.clip(np.asarray(g) * 255.0, 0, 255).astype(
+                    np.uint8
+                )
+                poses[k] = np.asarray(p, np.float32)
+            self._pre = (gts, poses)
+            print(f"preloaded {n} frames ({gts.nbytes / 1e9:.2f} GB)")
+        self._q = queue.Queue(maxsize=depth)
+        self._t = threading.Thread(target=self._produce, daemon=True)
+        self._t.start()
+
+    def _get(self, k: int):
+        if self._pre is not None:
+            return (
+                self._pre[0][k].astype(np.float32) / 255.0,
+                self._pre[1][k],
+            )
+        g, p = self.loader.train_frame(k)
+        return np.asarray(g, np.float32), np.asarray(p, np.float32)
+
+    def _produce(self):
+        try:
+            for s in range(0, len(self.order), self.batch):
+                ks = self.order[s:s + self.batch]
+                gs, ps = zip(*(self._get(k) for k in ks))
+                self._q.put((np.stack(gs), np.stack(ps)))
+        except Exception as e:  # pragma: no cover — surfaced on next get
+            self._q.put(e)
+        self._q.put(None)
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            if isinstance(item, Exception):
+                raise item
+            yield item
 
 
 def _bucket_capacity(n: int, mult: float = 4.0, quantum: int = 1 << 16) -> int:

@@ -205,3 +205,38 @@ def test_prefilter(tmp_path):
     # identical frames 1,2 dropped (PSNR inf >= threshold)
     assert 0 in kept and 1 not in kept and 2 not in kept
     assert len(kept) >= 3
+
+
+def test_lpips_jax_machinery(tmp_path, monkeypatch):
+    """Full VGG16-LPIPS graph runs from a weights archive (random weights
+    here — the metric's structure guarantees lpips(x, x) == 0 and
+    lpips(x, y) > 0 regardless of weight values)."""
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    w = {}
+    chans = [3, 64, 64, 128, 128, 256, 256, 256, 512, 512, 512, 512, 512, 512]
+    for i in range(13):
+        w[f"conv{i}_w"] = rng.randn(
+            chans[i + 1], chans[i], 3, 3
+        ).astype(np.float32) * 0.05
+        w[f"conv{i}_b"] = np.zeros(chans[i + 1], np.float32)
+    for i, c in enumerate([64, 128, 256, 512, 512]):
+        w[f"lin{i}_w"] = np.abs(rng.randn(c)).astype(np.float32)
+    path = tmp_path / "lpips_vgg.npz"
+    np.savez(path, **w)
+
+    from gssdf_tpu.eval import lpips_jax
+
+    lpips_jax.load_weights.cache_clear()
+    lpips_jax.get_lpips_fn.cache_clear()
+    fn = lpips_jax.get_lpips_fn(str(path))
+    assert fn is not None
+    a = rng.uniform(0, 1, (64, 96, 3)).astype(np.float32)
+    b = rng.uniform(0, 1, (64, 96, 3)).astype(np.float32)
+    same = float(fn(a, a))
+    diff = float(fn(a, b))
+    assert abs(same) < 1e-6
+    assert diff > 1e-4
+    lpips_jax.load_weights.cache_clear()
+    lpips_jax.get_lpips_fn.cache_clear()

@@ -132,7 +132,7 @@ def test_multicam_gs_step_sharded():
 
     state2, aux = step(
         state, gt_s, poses_s, o_s, d_s, t_s, jax.random.PRNGKey(2),
-        0.05, 1e-4, 1.6e-4, 0, False,
+        0.05, 1e-4, 1.6e-4, 0, False, False, None,
     )
     for k, v in aux.items():
         assert np.isfinite(np.asarray(v)).all(), k
@@ -145,3 +145,123 @@ def test_multicam_gs_step_sharded():
         )
     )
     assert moved > 0
+
+
+def _gs_setup(gs_sdf_reg, num_train=8):
+    W = H = 32
+    cam = Camera(fx=40.0, fy=40.0, cx=W / 2, cy=H / 2, width=W, height=H)
+    field = _field_spec()
+    sdf_spec = SDFTrainSpec(
+        field=field, batch_rays=64, max_hits=2, max_steps=32,
+        inner_half_extent=2.0, align_weight=0.0,
+    )
+    spec = GSTrainSpec(
+        sdf=sdf_spec,
+        render=RenderSettings(width=W, height=H, tile_cap=32, tile_expand=8),
+        refine=RefineSpec(),
+        num_train_data=num_train,
+        gs_iter_step=100,
+        gs_sdf_reg=gs_sdf_reg,
+        refine_start_iter=2,
+        refine_every=4,
+        reset_every=40,
+    )
+    geom = MapGeometry(origin=(0.0, 0.0, 2.0), map_size=4.0)
+    pts = np.random.RandomState(0).uniform(-1, 1, (200, 3)).astype(np.float32)
+    pts[:, 2] += 2.0
+    grid = build_occupancy_grid(pts, geom, 32)
+    key = jax.random.PRNGKey(0)
+    n = 32
+    model = build_splat_model(
+        key, jnp.asarray(pts[:n]), jnp.full((n, 3), np.log(0.05)),
+        jnp.tile(jnp.array([[1.0, 0, 0, 0]]), (n, 1)),
+        jnp.full((n,), logit(0.5)), 0, 64,
+    )
+    state = gs_state_init(init_sdf_field(key, field), model)
+    return spec, geom, grid, cam, state, W, H
+
+
+def test_multicam_step_matches_single_cam():
+    """A B=2 multicam step on the SAME frame twice == one single-cam step:
+    losses and gradients average over cameras, so duplicated inputs must
+    yield the identical Adam update (gs_sdf_reg off for determinism — the
+    per-camera disk-sample keys only enter through that regularizer)."""
+    from gssdf_tpu.train.gs import make_gs_train_step
+
+    spec, geom, grid, cam, state, W, H = _gs_setup(gs_sdf_reg=False)
+    gt = jnp.linspace(0, 1, H * W * 3).reshape(H, W, 3)
+    pose = jnp.eye(4, dtype=jnp.float32)
+    r = spec.sdf.batch_rays
+    rays = (
+        jnp.zeros((r, 3)),
+        jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (r, 1)),
+        jnp.full((r, 1), 2.0),
+    )
+    key = jax.random.PRNGKey(3)
+
+    single = make_gs_train_step(spec, geom, grid, cam)
+    s1, aux1 = single(
+        state, gt, pose, *rays, key, 0.05, 1e-4, 1.6e-4, 0, False, False,
+        None,
+    )
+
+    multi = make_multicam_gs_train_step(spec, geom, grid, cam, mesh=None)
+    gt_b = jnp.stack([gt, gt])
+    pose_b = jnp.stack([pose, pose])
+    s2, aux2 = multi(
+        state, gt_b, pose_b, *rays, key, 0.05, 1e-4, 1.6e-4, 0, False,
+        False, None,
+    )
+    np.testing.assert_allclose(
+        float(aux1["gs_loss"]), float(aux2["gs_loss"]), rtol=1e-6
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s1.params),
+        jax.tree_util.tree_leaves(s2.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6
+        )
+
+
+def test_sharded_multistep_train_with_refine():
+    """Multi-step sharded joint training incl. refine + opacity-reset events
+    on the replicated state: alive set changes, everything stays finite and
+    replicated."""
+    from gssdf_tpu.train.gs import GSTrainer
+
+    spec, geom, grid, cam, state, W, H = _gs_setup(gs_sdf_reg=True)
+    mesh = make_mesh()
+    trainer = GSTrainer(spec, geom, grid, cam, mesh=mesh)
+    assert trainer.batch == 8
+
+    state = replicate(mesh, state)
+    b = trainer.batch
+    rng = np.random.RandomState(1)
+    r = spec.sdf.batch_rays
+    alive0 = int(jnp.sum(state.alive))
+
+    key = jax.random.PRNGKey(9)
+    fired = set()
+    for i in range(0, 48, b):
+        key, k1, k2 = jax.random.split(key, 3)
+        gt = jnp.asarray(rng.uniform(0, 1, (b, H, W, 3)), jnp.float32)
+        poses = jnp.tile(jnp.eye(4, dtype=jnp.float32)[None], (b, 1, 1))
+        o = jnp.asarray(rng.uniform(-0.2, 0.2, (r, 3)), jnp.float32)
+        d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (r, 1))
+        t = jnp.full((r, 1), 2.0)
+        gt_s, poses_s = shard_batch(mesh, (gt, poses))
+        o_s, d_s, t_s = shard_batch(mesh, (o, d, t))
+        state, aux = trainer.step_fn(
+            state, gt_s, poses_s, o_s, d_s, t_s, k1,
+            0.05, 1e-4, 1.6e-4, 0, True, False, None,
+        )
+        assert np.isfinite(float(aux["loss"])), i
+        state, info = trainer.callback(state, i, k2, stride=b)
+        fired.update(info.keys())
+
+    assert "n_grow" in fired or "n_dup" in fired or len(fired) > 0, fired
+    alive1 = int(jnp.sum(state.alive))
+    assert alive1 != alive0 or "opacity_reset" in fired
+    for leaf in jax.tree_util.tree_leaves(state.params):
+        assert np.isfinite(np.asarray(leaf)).all()

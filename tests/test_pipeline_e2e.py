@@ -163,3 +163,41 @@ def test_checkpoint_roundtrip(run_dir):
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-6)
     # splats reloaded
     assert int(jnp.sum(pipe2.gs_state.alive)) > 0
+
+
+def test_pipeline_mesh_train(run_dir, tmp_path_factory):
+    """Full Pipeline on an 8-device mesh (data-parallel rays + one camera
+    per device) with the preloaded frame stack: short batch_train must
+    produce finite params, a refine event, and the standard artifacts."""
+    out, pipe = run_dir
+    import jax
+    import jax.numpy as jnp
+
+    out_root = tmp_path_factory.mktemp("out_mesh")
+    cfg2 = load_config(Path(pipe.cfg.config_path))
+    cfg2.leaf_size = pipe.cfg.leaf_size
+    cfg2.dataset_path = pipe.cfg.dataset_path
+    cfg2.sdf_iter_step = 60
+    cfg2.gs_iter_step = 64
+    cfg2.refine_start_iter = 8
+    cfg2.refine_every = 16
+    cfg2.mesh_shape = {"data": 8}
+    cfg2.preload = True
+    cfg2.output_path = str(out_root / "run")
+    cfg2.model_path = str(out_root / "run" / "model")
+    Path(cfg2.model_path).mkdir(parents=True)
+
+    from gssdf_tpu.train.pipeline import Pipeline
+
+    pipe2 = Pipeline(cfg2)
+    assert pipe2.mesh is not None and pipe2.mesh.devices.size == 8
+    pipe2.prefilter_data() if cfg2.prefilter > 0 else None
+    pipe2.build_occ_map()
+    pipe2.nsdf_train()
+    pipe2.init_gs()
+    pipe2.gs_train()
+    for leaf in jax.tree_util.tree_leaves(pipe2.gs_state.params):
+        assert np.isfinite(np.asarray(leaf)).all()
+    assert int(jnp.sum(pipe2.gs_state.alive)) > 0
+    pipe2.export_checkpoint()
+    assert (Path(cfg2.model_path) / "gs.ply").exists()

@@ -45,7 +45,7 @@ def _proj(means, quats, scales):
 def test_tile_encode_lists_are_front_to_back():
     means, quats, scales, opac, colors = _random_scene(40)
     p = _proj(means, quats, scales)
-    lists, counts, binned = tile_encode(
+    lists, counts, binned, _drop = tile_encode(
         p.means2d, p.radii, p.depths, p.valid, W, H, 16, 64, 64
     )
     n = means.shape[0]
