@@ -194,6 +194,8 @@ class Config:
     mesh_shape: Optional[dict] = None   # e.g. {"data": 8}
     gs_capacity: int = 0                # 0 = auto bucket
     tile_cap: int = 512                 # max splats composited per tile
+    tile_expand: int = 64               # per-splat tile-entry budget (big)
+    tile_expand_small: int = 8          # small-bucket budget; 0 disables
     raymarch_max_hits: int = 8
     raymarch_max_steps: int = 512
     dtype_compute: str = "float32"

@@ -52,32 +52,70 @@ def extract_mesh(
     zs = lo[2] + np.arange(nz) * resolution
 
     march = jax.jit(functools.partial(marching_tets, iso=0.0))
+    ys_j = jnp.asarray(ys, jnp.float32)
+    zs_j = jnp.asarray(zs, jnp.float32)
+
+    def slab_pts(xs_j):
+        gx, gy, gz = jnp.meshgrid(xs_j, ys_j, zs_j, indexing="ij")
+        return jnp.stack([gx, gy, gz], -1).reshape(-1, 3)
 
     @jax.jit
-    def eval_slab(xs_j):
-        gx, gy, gz = jnp.meshgrid(
-            xs_j, jnp.asarray(ys, jnp.float32), jnp.asarray(zs, jnp.float32),
-            indexing="ij",
+    def slab_mask(xs_j):
+        vm = valid_mask(grid, slab_pts(xs_j))
+        return vm, jnp.sum(vm)
+
+    # Occupancy-compacted field eval: only the observed truncation band of
+    # the map is valid (typically <10% of grid points at export resolution),
+    # and the hash-grid gather per point dominates extraction cost on TPU —
+    # so gather-compact the valid points to a pow-2 bucket and evaluate the
+    # SDF on those alone. Full dense eval stays as the dense-slab fallback.
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def eval_compact(xs_j, vm, bucket):
+        pts = slab_pts(xs_j)
+        nv = jnp.sum(vm)
+        idx = jnp.nonzero(vm, size=bucket, fill_value=pts.shape[0])[0]
+        sdf_c = sdf_apply(
+            sdf_params, pts[jnp.minimum(idx, pts.shape[0] - 1)], geom, spec
+        )[0][:, 0]
+        in_r = jnp.arange(bucket) < nv
+        sdf = jnp.full((pts.shape[0],), _OUTSIDE_SDF, jnp.float32)
+        sdf = sdf.at[jnp.where(in_r, idx, pts.shape[0])].set(
+            sdf_c, mode="drop"
         )
-        pts = jnp.stack([gx, gy, gz], -1).reshape(-1, 3)
-        vm = valid_mask(grid, pts)
+        return sdf.reshape(xs_j.shape[0], ny, nz)
+
+    @jax.jit
+    def eval_full(xs_j, vm):
+        pts = slab_pts(xs_j)
         sdf = sdf_apply(sdf_params, pts, geom, spec)[0][:, 0]
         sdf = jnp.where(vm, sdf, _OUTSIDE_SDF)
-        return sdf.reshape(xs_j.shape[0], ny, nz), vm.reshape(
-            xs_j.shape[0], ny, nz
-        )
+        return sdf.reshape(xs_j.shape[0], ny, nz)
 
     all_verts, all_faces, n_verts = [], [], 0
     # overlap slabs by one voxel layer so surfaces crossing slab borders close
     x_starts = list(range(0, nx - 1, slab_voxels - 1))
-    for xs0 in x_starts:
+    # progress bar per slab (reference: tq::trange "Marching Cubes",
+    # local_map.cpp:237-239)
+    from ..utils.progress import ProgressBar
+
+    for xs0 in ProgressBar(x_starts, prefix="Marching Tets"):
         xn = min(slab_voxels, nx - xs0)
         if xn < 2:
             continue
         xs_j = jnp.asarray(
             lo[0] + (xs0 + np.arange(xn)) * resolution, jnp.float32
         )
-        sdf_grid, vm_grid = eval_slab(xs_j)
+        vm, nv = slab_mask(xs_j)
+        nv = int(nv)
+        if nv == 0:
+            continue   # fully unobserved slab: no surface can be extracted
+        slab_elems = xn * ny * nz
+        bucket = 1 << max(int(np.ceil(np.log2(max(nv, 1)))), 10)
+        if bucket <= slab_elems // 2:
+            sdf_grid = eval_compact(xs_j, vm, bucket)
+        else:
+            sdf_grid = eval_full(xs_j, vm)
+        vm_grid = vm.reshape(xn, ny, nz)
         # boundary-artifact suppression at extraction: cells touching
         # unobserved space emit no triangles (replaces the reference's
         # post-hoc 27-neighbor vertex filter, local_map.cpp:410-417, which
@@ -139,7 +177,12 @@ def cull_mesh_by_depth(
     ``tolerance`` behind the measured depth (mesher.cpp:76-160)."""
     keep = np.zeros(len(verts), bool)
     K = np.asarray(cameras_K)
-    for pose, depth in zip(poses_c2w, depth_maps):
+    from ..utils.progress import ProgressBar
+
+    # reference: tq::trange "Culling mesh" (mesher.cpp:109-112)
+    for pose, depth in ProgressBar(
+        list(zip(poses_c2w, depth_maps)), prefix="Culling mesh"
+    ):
         w2c = np.linalg.inv(pose)
         pc = verts @ w2c[:3, :3].T + w2c[:3, 3]
         z = pc[:, 2]

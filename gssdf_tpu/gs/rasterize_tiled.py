@@ -31,11 +31,51 @@ from typing import Dict, Optional
 import jax
 import jax.numpy as jnp
 
+from ..ops.pallas.segsum import table_gather
 from .rasterize_jax import composite, pixel_weights_from_coeffs, splat_coeffs
 
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
+
+
+def _true_bbox(
+    means2d: jnp.ndarray,   # [N, 2]
+    radii: jnp.ndarray,     # [N]
+    tiles_x: int,
+    tiles_y: int,
+    tile_size: int,
+):
+    """Grid-clamped tile-space bbox + center tile per splat (all int32)."""
+    mx, my = means2d[:, 0], means2d[:, 1]
+    r = radii
+    tx0 = jnp.clip(jnp.floor((mx - r) / tile_size), 0, tiles_x - 1).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.floor((mx + r) / tile_size), 0, tiles_x - 1).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor((my - r) / tile_size), 0, tiles_y - 1).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor((my + r) / tile_size), 0, tiles_y - 1).astype(jnp.int32)
+    ctx = jnp.clip(jnp.floor(mx / tile_size), 0, tiles_x - 1).astype(jnp.int32)
+    cty = jnp.clip(jnp.floor(my / tile_size), 0, tiles_y - 1).astype(jnp.int32)
+    return tx0, tx1, ty0, ty1, ctx, cty
+
+
+def _win_dims(expand: int):
+    """Static power-of-2 window (w, h) with w*h == expand: entry decode is
+    shift/mask instead of a per-splat integer div/mod."""
+    win_w = 1 << max((expand.bit_length() - 1) // 2, 0)  # ~sqrt(expand)
+    return win_w, expand // win_w
+
+
+def _window(tx0, tx1, ty0, ty1, ctx, cty, valid, expand: int):
+    """Clamp the true bbox to an ``expand``-tile window containing the
+    splat's center tile (huge splats degrade to a centered window instead of
+    overflowing the static entry budget)."""
+    win_w, win_h = _win_dims(expand)
+    sx = jnp.minimum(tx1 - tx0 + 1, win_w)
+    sy = jnp.minimum(ty1 - ty0 + 1, win_h)
+    tx0c = jnp.clip(ctx - sx // 2, tx0, tx1 - sx + 1)
+    ty0c = jnp.clip(cty - sy // 2, ty0, ty1 - sy + 1)
+    z = jnp.zeros_like(sx)
+    return tx0c, ty0c, jnp.where(valid, sx, z), jnp.where(valid, sy, z)
 
 
 def tile_bbox(
@@ -47,40 +87,30 @@ def tile_bbox(
     tile_size: int,
     expand: int,
 ):
-    """Clamped tile-space bbox per splat.
+    """Clamped tile-space bbox per splat: (tx0, ty0, span_x, span_y)."""
+    tx0, tx1, ty0, ty1, ctx, cty = _true_bbox(
+        means2d, radii, tiles_x, tiles_y, tile_size
+    )
+    return _window(tx0, tx1, ty0, ty1, ctx, cty, valid, expand)
 
-    Returns (tx0, ty0, span_x, span_y) int32 arrays. The bbox is clamped so
-    ``span_x * span_y <= expand`` while always containing the splat's center
-    tile (huge splats degrade to an ``expand``-tile window around their
-    center instead of overflowing the static entry budget).
+
+def _emit_entries(x0c, y0c, sx, sy, ranks, ids, expand: int, tiles_x: int,
+                  num_tiles: int, rank_bits: int):
+    """Flat (packed sort key, splat-id payload) entry streams for one bucket.
+
+    Key = (tile_id << rank_bits) | depth_rank — unique, so the binning sort
+    can be unstable. Entries outside the window get the sentinel tile.
     """
-    mx, my = means2d[:, 0], means2d[:, 1]
-    r = radii
-    tx0 = jnp.clip(jnp.floor((mx - r) / tile_size), 0, tiles_x - 1).astype(jnp.int32)
-    tx1 = jnp.clip(jnp.floor((mx + r) / tile_size), 0, tiles_x - 1).astype(jnp.int32)
-    ty0 = jnp.clip(jnp.floor((my - r) / tile_size), 0, tiles_y - 1).astype(jnp.int32)
-    ty1 = jnp.clip(jnp.floor((my + r) / tile_size), 0, tiles_y - 1).astype(jnp.int32)
-    span_x = tx1 - tx0 + 1
-    span_y = ty1 - ty0 + 1
-
-    # center tile (always kept inside the clamped window)
-    ctx = jnp.clip(jnp.floor(mx / tile_size), 0, tiles_x - 1).astype(jnp.int32)
-    cty = jnp.clip(jnp.floor(my / tile_size), 0, tiles_y - 1).astype(jnp.int32)
-
-    # static power-of-2 window width: entry decode becomes shift/mask
-    # instead of a 4M-element integer div/mod by a per-splat divisor
-    win_w = 1 << max((expand.bit_length() - 1) // 2, 0)  # ~sqrt(expand)
-    win_h = expand // win_w
-    sx = jnp.minimum(span_x, win_w)
-    sy = jnp.minimum(span_y, win_h)
-    # shift the clamped window to contain the center tile, staying in-bbox
-    tx0c = jnp.clip(ctx - sx // 2, tx0, tx1 - sx + 1)
-    ty0c = jnp.clip(cty - sy // 2, ty0, ty1 - sy + 1)
-
-    z = jnp.zeros_like(span_x)
-    span_x = jnp.where(valid, sx, z)
-    span_y = jnp.where(valid, sy, z)
-    return tx0c, ty0c, span_x, span_y
+    win_w, _ = _win_dims(expand)
+    e = jnp.arange(expand, dtype=jnp.int32)                  # [E]
+    ex = (e & (win_w - 1))[None, :]
+    ey = (e >> (win_w.bit_length() - 1))[None, :]
+    ok = (ex < sx[:, None]) & (ey < sy[:, None])
+    tid = (y0c[:, None] + ey) * tiles_x + (x0c[:, None] + ex)
+    tid = jnp.where(ok, tid, num_tiles)                      # sentinel tile
+    key = (tid << rank_bits) | ranks[:, None]
+    pay = jnp.broadcast_to(ids[:, None], tid.shape)
+    return key.reshape(-1), pay.reshape(-1)
 
 
 def tile_encode(
@@ -93,12 +123,19 @@ def tile_encode(
     tile_size: int,
     tile_cap: int,
     tile_expand: int,
+    tile_expand_small: int = 0,
 ):
     """Depth-sorted fixed-capacity tile lists.
 
     Returns (tile_lists [T, C] int32 indices into the ORIGINAL splat arrays
     with sentinel = N, counts [T] int32). Within a tile, indices are
     front-to-back.
+
+    ``tile_expand_small`` > 0 enables TWO-BUCKET entry budgets: the n/8
+    largest-bbox splats keep the full ``tile_expand`` window, the rest emit
+    only ``tile_expand_small`` entries. Most splats cover 1-4 tiles, so this
+    shrinks the binning sort ~3x at the same coverage; splats whose window
+    got clamped below their true bbox are counted in ``clamp_frac``.
     """
     n = means2d.shape[0]
     assert tile_expand & (tile_expand - 1) == 0, "tile_expand must be 2^k"
@@ -106,38 +143,71 @@ def tile_encode(
     tiles_y = _cdiv(height, tile_size)
     num_tiles = tiles_x * tiles_y
 
-    order = jnp.argsort(jnp.where(valid, depths, jnp.inf))  # stable
-    tx0, ty0, span_x, span_y = tile_bbox(
-        means2d[order],
-        radii[order],
-        valid[order],
-        tiles_x,
-        tiles_y,
-        tile_size,
-        tile_expand,
-    )
-
-    # decode entry slot -> (ex, ey) with a STATIC window width (shift/mask)
-    win_w = 1 << max((tile_expand.bit_length() - 1) // 2, 0)
-    e = jnp.arange(tile_expand, dtype=jnp.int32)            # [E]
-    ex = (e & (win_w - 1))[None, :]                          # [1, E]
-    ey = (e >> (win_w.bit_length() - 1))[None, :]
-    entry_ok = (ex < span_x[:, None]) & (ey < span_y[:, None])
-    tid = (ty0[:, None] + ey) * tiles_x + (tx0[:, None] + ex)
-    tid = jnp.where(entry_ok, tid, num_tiles)                # sentinel tile
-
-    # Pack (tile, depth-rank) into ONE int32 key: ranks are the row index
-    # (splats already depth-sorted), so key order == (tile, front-to-back).
-    # Keys are unique -> the sort can be UNSTABLE (measurably faster than
-    # the stable 2-operand sort on TPU: 6.2 vs 9.6 ms at 4.2M entries).
+    # Pack (tile, depth-rank) into ONE int32 key. Keys are unique -> the
+    # binning sort can be UNSTABLE (measurably faster than the stable
+    # 2-operand sort on TPU: 6.2 vs 9.6 ms at 4.2M entries).
     rank_bits = max(n - 1, 1).bit_length()
     assert (num_tiles + 1) << rank_bits < 2**31, (
         "packed tile/rank key overflows int32; shrink tile count or splats"
     )
-    ranks = jax.lax.broadcasted_iota(jnp.int32, tid.shape, 0)
-    payload = jnp.broadcast_to(order[:, None], tid.shape).astype(jnp.int32)
-    flat_key = ((tid << rank_bits) | ranks).reshape(-1)
-    flat_pay = payload.reshape(-1)
+
+    # bboxes in ORIGINAL splat order (permutation gathers on 131k+ rows cost
+    # more than the extra inverse-argsort: TPU gathers pay ~6-10 ns/row)
+    tx0, tx1, ty0, ty1, ctx, cty = _true_bbox(
+        means2d, radii, tiles_x, tiles_y, tile_size
+    )
+    order = jnp.argsort(jnp.where(valid, depths, jnp.inf))
+    rank = jnp.argsort(order).astype(jnp.int32)   # depth rank per splat
+    n_valid = jnp.maximum(jnp.sum(valid), 1)
+
+    two_bucket = (
+        0 < tile_expand_small < tile_expand and n >= 64
+    )
+    if two_bucket:
+        assert tile_expand_small & (tile_expand_small - 1) == 0
+        k_big = max(n // 8, 1)
+        area = jnp.where(valid, (tx1 - tx0 + 1) * (ty1 - ty0 + 1), 0)
+        by_area = jnp.argsort(-area).astype(jnp.int32)
+        # ONE packed row gather per bucket instead of 8 scalar gathers
+        cols = jnp.stack(
+            [tx0, tx1, ty0, ty1, ctx, cty, rank, valid.astype(jnp.int32)],
+            axis=1,
+        )
+
+        def bucket(ids, expand):
+            c = cols[ids]
+            v = c[:, 7] > 0
+            x0c, y0c, sx, sy = _window(
+                c[:, 0], c[:, 1], c[:, 2], c[:, 3], c[:, 4], c[:, 5], v,
+                expand,
+            )
+            key, pay = _emit_entries(
+                x0c, y0c, sx, sy, c[:, 6], ids, expand, tiles_x, num_tiles,
+                rank_bits,
+            )
+            clamped = jnp.sum(
+                ((sx < c[:, 1] - c[:, 0] + 1) | (sy < c[:, 3] - c[:, 2] + 1))
+                & v
+            )
+            return key, pay, clamped
+
+        kb, pb, cb = bucket(by_area[:k_big], tile_expand)
+        ks, ps, cs = bucket(by_area[k_big:], tile_expand_small)
+        flat_key = jnp.concatenate([kb, ks])
+        flat_pay = jnp.concatenate([pb, ps])
+        clamp_frac = ((cb + cs) / n_valid).astype(jnp.float32)
+    else:
+        x0c, y0c, sx, sy = _window(
+            tx0, tx1, ty0, ty1, ctx, cty, valid, tile_expand
+        )
+        flat_key, flat_pay = _emit_entries(
+            x0c, y0c, sx, sy, rank, jnp.arange(n, dtype=jnp.int32),
+            tile_expand, tiles_x, num_tiles, rank_bits,
+        )
+        clamp_frac = (
+            jnp.sum(((sx < tx1 - tx0 + 1) | (sy < ty1 - ty0 + 1)) & valid)
+            / n_valid
+        ).astype(jnp.float32)
     e_total = flat_key.shape[0]
     sorted_key, sorted_pay = jax.lax.sort(
         (flat_key, flat_pay), num_keys=1, is_stable=False
@@ -173,7 +243,7 @@ def tile_encode(
     binned = jnp.zeros((n + 1,), bool).at[
         tile_lists.reshape(-1)
     ].set(True, mode="drop")[:n]
-    return tile_lists, counts, binned, drop_frac
+    return tile_lists, counts, binned, drop_frac, clamp_frac
 
 
 def rasterize_tiled(
@@ -191,6 +261,7 @@ def rasterize_tiled(
     tile_size: int = 16,
     tile_cap: int = 512,
     tile_expand: int = 64,
+    tile_expand_small: int = 0,
     tile_batch: int = 16,
     pix_delta: Optional[jnp.ndarray] = None,
     background: Optional[jnp.ndarray] = None,
@@ -222,7 +293,7 @@ def rasterize_tiled(
     if pix_delta is None:
         pix_delta = jnp.zeros((n, 2), means2d.dtype)
 
-    tile_lists, _, binned, drop_frac = tile_encode(
+    tile_lists, _, binned, drop_frac, clamp_frac = tile_encode(
         means2d,
         radii,
         jax.lax.stop_gradient(depths),
@@ -232,6 +303,7 @@ def rasterize_tiled(
         tile_size,
         tile_cap,
         tile_expand,
+        tile_expand_small,
     )
 
     # sentinel row N: zero opacity — contributes nothing
@@ -254,9 +326,12 @@ def rasterize_tiled(
             [table, jnp.zeros((n + 1, F_ROWS - table.shape[-1]), table.dtype)],
             axis=-1,
         )
-        # ONE gather into [T, C, 24] then lane-major [T, 24, C]
+        # ONE gather into [T, C, 24] then lane-major [T, 24, C].
+        # table_gather so the backward accumulation runs through the sorted
+        # windowed Pallas segment-sum instead of XLA's serial scatter-add
+        # (the rasterizer analog of tcnn's fused grid backward).
         entries_t = jnp.swapaxes(
-            table24[tile_lists.reshape(-1)].reshape(
+            table_gather(table24, tile_lists.reshape(-1)).reshape(
                 num_tiles, tile_cap, F_ROWS
             ),
             -1, -2,
@@ -280,7 +355,7 @@ def rasterize_tiled(
         # ONE gather into tile-entry order; the scan then reads contiguous
         # slices. (Per-step gathers were the bottleneck: XLA lowers scattered
         # row gathers poorly on TPU, one fused gather is ~linear in bytes.)
-        entries = table[tile_lists.reshape(-1)].reshape(
+        entries = table_gather(table, tile_lists.reshape(-1)).reshape(
             nb, tile_batch, tile_cap, table.shape[-1]
         )
 
@@ -345,4 +420,5 @@ def rasterize_tiled(
         "visibilities": vis[:n],
         "binned": binned,
         "drop_frac": drop_frac,
+        "clamp_frac": clamp_frac,
     }

@@ -31,6 +31,7 @@ class RenderSettings(NamedTuple):
     tile_size: int = 16
     tile_cap: int = 512
     tile_expand: int = 64
+    tile_expand_small: int = 0  # >0: two-bucket entry budget (see tile_encode)
     tile_batch: int = 16
     bck_color: int = 0          # 0 black / 1 white / 2 random
 
@@ -110,6 +111,7 @@ def render_splats(
         tile_size=settings.tile_size,
         tile_cap=settings.tile_cap,
         tile_expand=settings.tile_expand,
+        tile_expand_small=settings.tile_expand_small,
         tile_batch=settings.tile_batch,
         pix_delta=pix_delta,
     )
@@ -151,4 +153,5 @@ def render_splats(
         "binned": res["binned"],
         "radii": proj.radii,
         "drop_frac": res["drop_frac"],
+        "clamp_frac": res["clamp_frac"],
     }

@@ -90,6 +90,22 @@ def _dot(a, b):
     return jnp.dot(a, b, preferred_element_type=jnp.float32, precision=_HI)
 
 
+def _tri_dot(x, tri):
+    """Triangular prefix/suffix matmul in SPLIT-bf16 (the kernel's dominant
+    FLOPs). ``tri`` is 0/1 — exactly representable in bf16 — so
+    ``(hi + lo) @ tri`` with two bf16 passes reproduces the f32 product to
+    ~2^-17 relative while running ~3x faster than a 6-pass HIGHEST f32 dot
+    on the MXU. Used identically by forward and backward, so the backward's
+    weight replay stays bit-exact."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    tb = tri.astype(jnp.bfloat16)
+    return (
+        jnp.dot(hi, tb, preferred_element_type=jnp.float32)
+        + jnp.dot(lo, tb, preferred_element_type=jnp.float32)
+    )
+
+
 def _tri_mats(c: int):
     """(inclusive-prefix upper, strict-suffix lower) [C, C] f32 matmuls:
     dot(x, upper)[_, c] = sum_{k<=c} x_k;  dot(x, lower)[_, c] = sum_{k>c}.
@@ -164,14 +180,15 @@ def _chunk_fwd(ent, pxc, pyc, cl0, cw0, cwd0):
     u_incl, _ = _tri_mats(ent.shape[-1])
     depth, log1m, alpha = f["depth"], f["log1m"], f["alpha"]
 
-    cl = cl0 + _dot(log1m, u_incl)         # global inclusive log-T
-    t_ex = jnp.exp(cl - log1m)
-    keep = jnp.exp(cl) >= T_EPS
+    cl = cl0 + _tri_dot(log1m, u_incl)     # global inclusive log-T
+    t_in = jnp.exp(cl)                     # one exp: t_ex = t_in/(1-alpha)
+    t_ex = t_in / (1.0 - alpha)
+    keep = t_in >= T_EPS
     w = jnp.where(keep, t_ex * alpha, 0.0)
     wd = w * depth
 
-    cum = cw0 + _dot(w, u_incl)            # global inclusive weight prefix
-    cum_wd = cwd0 + _dot(wd, u_incl)
+    cum = cw0 + _tri_dot(w, u_incl)        # global inclusive weight prefix
+    cum_wd = cwd0 + _tri_dot(wd, u_incl)
     a_ex = cum - w
     b_ex = cum_wd - wd
     first = jnp.maximum(
@@ -213,12 +230,13 @@ def _chunk_bwd(ent, pxc, pyc, cl0, cw0, tot_w, tot_wd, sfx_wd, sfx_wg,
     feats = ent[15:21]
 
     # exact replay of the forward weight math from the stored carries
-    cl = cl0 + _dot(log1m, u_incl)
-    t_ex = jnp.exp(cl - log1m)
-    keep = jnp.exp(cl) >= T_EPS
+    cl = cl0 + _tri_dot(log1m, u_incl)
+    t_in = jnp.exp(cl)
+    t_ex = t_in / (1.0 - alpha)
+    keep = t_in >= T_EPS
     w = jnp.where(keep, t_ex * alpha, 0.0)
     wd = w * depth
-    cum = cw0 + _dot(w, u_incl)
+    cum = cw0 + _tri_dot(w, u_incl)
     a_ex = cum - w
     first = jnp.maximum(
         (cum >= 0.5).astype(jnp.float32) - (a_ex >= 0.5).astype(jnp.float32),
@@ -227,7 +245,7 @@ def _chunk_bwd(ent, pxc, pyc, cl0, cw0, tot_w, tot_wd, sfx_wd, sfx_wg,
 
     # global suffix sums: reverse carry + within-chunk strict suffix
     Sw = tot_w - cum                                  # sum_{k>c} w_k (exact)
-    Smw = sfx_wd + _dot(wd, l_strict)                 # sum_{k>c} w_k m_k
+    Smw = sfx_wd + _tri_dot(wd, l_strict)                 # sum_{k>c} w_k m_k
     b_ex = tot_wd - wd - Smw                          # exclusive wd prefix
 
     go6 = go[0:6]                                     # [6, P]
@@ -259,7 +277,7 @@ def _chunk_bwd(ent, pxc, pyc, cl0, cw0, tot_w, tot_wd, sfx_wd, sfx_wg,
     # w -> alpha through the transmittance chain:
     #   dL/da_c = keep_c t_ex,c Gw_c - (1/(1-a_c)) sum_{k>c} Gw_k w_k
     WG = Gw * w
-    S_sfx = sfx_wg + _dot(WG, l_strict)
+    S_sfx = sfx_wg + _tri_dot(WG, l_strict)
     Galpha = jnp.where(keep, Gw * t_ex, 0.0) - S_sfx / (1.0 - alpha)
 
     # alpha -> (opa, rho); gates carry no cotangent

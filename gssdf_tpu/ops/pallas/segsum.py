@@ -205,8 +205,26 @@ def segment_sum(keys, vals, num_slots, **kw):
     """Unsorted keys + row-major vals [R, F] -> [num_slots, F]; rows with
     key >= num_slots are dropped. TPU: free XLA sort + windowed Pallas
     kernel; elsewhere: XLA scatter."""
+    feat = vals.shape[-1]
     if jax.default_backend() != "tpu":
         return segment_sum_ref(keys, vals, num_slots)
+    if not kw:
+        # Per-chunk MXU work is block_slots*feat*chunk MACs regardless of
+        # r_width, so wide-feature callers (e.g. the rasterizer's 24-row
+        # entry tables) want SMALL output blocks; narrow hash-grid tables
+        # amortize per-block overheads better with big ones.
+        if feat > 8:
+            kw = dict(block_slots=1024, chunk=2048, r_width=16)
+    if feat > 8:
+        # A multi-operand sort pays per payload column; a 2-operand perm
+        # sort + one row gather doesn't.
+        r = keys.shape[0]
+        sk, perm = jax.lax.sort(
+            (keys.astype(jnp.int32), jnp.arange(r, dtype=jnp.int32)),
+            num_keys=1,
+        )
+        sv = jnp.take(vals, perm, axis=0)
+        return sorted_segment_sum_pallas(sk, sv.T, num_slots, **kw)
     ops = (keys.astype(jnp.int32),) + tuple(
         vals[:, i] for i in range(vals.shape[-1])
     )

@@ -266,6 +266,7 @@ def make_gs_train_step(
             aux.update(img_aux)
             # tile-cap telemetry (no reference analog: CUDA lists unbounded)
             aux["drop_frac"] = jax.lax.stop_gradient(render["drop_frac"])
+            aux["clamp_frac"] = jax.lax.stop_gradient(render["clamp_frac"])
 
             # GS->SDF mutual consistency (neural_mapping.cpp:420-462)
             if spec.gs_sdf_reg:

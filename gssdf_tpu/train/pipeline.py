@@ -49,6 +49,7 @@ from ..gs.ply_io import export_gs_ply, import_gs_ply
 from ..gs.render import RenderSettings, render_splats
 from ..losses import psnr as psnr_fn
 from ..utils.llog import LLOG
+from ..utils.progress import ProgressBar
 from ..utils.math import logit, random_quat
 from ..utils.ply import write_ply, write_ply_xyz
 from .gs import (
@@ -206,7 +207,7 @@ class Pipeline:
             Path(cfg.output_path) / "nsdf_log.txt" if cfg.output_path else None
         )
 
-        for i in range(iters):
+        for i in ProgressBar(range(iters), prefix="SDF"):
             t_iter.tic()
             lr = cfg.lr * (1 - i / iters) + cfg.lr_end * (i / iters)
             k1, k2 = jax.random.split(self._next_key())
@@ -363,6 +364,8 @@ class Pipeline:
                 sh_degree=cfg.sh_degree,
                 tile_size=cfg.tile_size,
                 tile_cap=cfg.tile_cap,
+                tile_expand=cfg.tile_expand,
+                tile_expand_small=cfg.tile_expand_small,
                 bck_color=cfg.bck_color,
             ),
             refine=RefineSpec(
@@ -457,7 +460,11 @@ class Pipeline:
         order = _frame_order(cfg.seed, n_train, iters, b)
         fetch = _FrameFetcher(self.loader, order, b, cfg.preload)
 
-        for i, (gt_b, pose_b) in zip(range(0, iters, b), fetch):
+        for i, (gt_b, pose_b) in ProgressBar(
+            zip(range(0, iters, b), fetch),
+            prefix="GS",
+            total=len(range(0, iters, b)),
+        ):
             t_iter.tic()
             xyz_lr = xyz_lr_at(spec, i)
             sdf_lr = sdf_lr_at(spec, xyz_lr)
@@ -488,6 +495,8 @@ class Pipeline:
                     LLOG.record("gs_sdf", float(aux["gs_sdf"]))
                 if "drop_frac" in aux:
                     LLOG.record("drop_frac", float(aux["drop_frac"]))
+                if "clamp_frac" in aux:
+                    LLOG.record("clamp_frac", float(aux["clamp_frac"]))
                 LLOG.record("gs_num", int(jnp.sum(self.gs_state.alive)))
                 if _fires(i, b, log_every * 50):
                     from ..utils.llog import memory_stats
@@ -536,6 +545,8 @@ class Pipeline:
             sh_degree=cfg.sh_degree,
             tile_size=cfg.tile_size,
             tile_cap=cfg.tile_cap,
+            tile_expand=cfg.tile_expand,
+            tile_expand_small=cfg.tile_expand_small,
             bck_color=cfg.bck_color,
         )
 

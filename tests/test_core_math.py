@@ -56,3 +56,30 @@ def test_num_sh_bases():
 def test_normalize():
     v = jnp.array([[3.0, 4.0, 0.0]])
     np.testing.assert_allclose(normalize(v), [[0.6, 0.8, 0.0]], atol=1e-6)
+
+
+def test_progress_bar_plain_and_tty_modes():
+    """tqdm.hpp analog: iterates transparently, renders rate/ETA lines."""
+    import io
+
+    from gssdf_tpu.utils.progress import ProgressBar, trange
+
+    buf = io.StringIO()  # non-TTY: sparse plain lines
+    out = list(ProgressBar(range(25), prefix="T", stream=buf))
+    assert out == list(range(25))
+    text = buf.getvalue()
+    assert "T" in text and "25/25" in text and text.count("\n") <= 15
+
+    class Tty(io.StringIO):
+        def isatty(self):
+            return True
+
+    buf = Tty()
+    assert list(trange(5, prefix="x", stream=buf, min_interval=0.0)) == [
+        0, 1, 2, 3, 4,
+    ]
+    assert "\r" in buf.getvalue() and "5/5" in buf.getvalue()
+
+    # unknown-length iterables still work
+    gen = (i for i in range(7))
+    assert len(list(ProgressBar(gen, stream=io.StringIO()))) == 7

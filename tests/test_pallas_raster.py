@@ -59,8 +59,11 @@ def test_pallas_matches_xla_forward():
     rp = _run("pallas", *scene)
     for ch in ["color", "normal", "alpha", "depth", "median", "distort",
                "visibilities"]:
+        # 1e-4: the kernel's split-bf16 triangular matmuls (_tri_dot)
+        # reproduce the fp32 XLA path to ~2^-17 relative; depth-scaled
+        # channels see up to ~1e-4 absolute at this scene's depth range.
         np.testing.assert_allclose(
-            np.asarray(rp[ch]), np.asarray(rx[ch]), atol=1e-5, err_msg=ch
+            np.asarray(rp[ch]), np.asarray(rx[ch]), atol=1e-4, err_msg=ch
         )
 
 
@@ -95,7 +98,7 @@ def _entries_from_scene(n=60, seed=7, tile_cap=128, tile_expand=32):
     means, quats, scales, opac, colors = _scene(n, seed)
     p = project_2dgs(means, quats, scales, EYE4, K, W, H, 0.01, 100.0)
     tiles_x = -(-W // 16)
-    tile_lists, _, _, _ = tile_encode(
+    tile_lists, _, _, _, _ = tile_encode(
         p.means2d, p.radii, p.depths, p.valid, W, H, 16, tile_cap,
         tile_expand,
     )
@@ -137,7 +140,9 @@ def test_chunked_forward_matches_unchunked_reference():
         atol=5e-3, rtol=1e-3,
     )
     np.testing.assert_allclose(
-        np.asarray(wm_ch[:, 0]), np.asarray(wm_ref_[:, 0]), atol=1e-6
+        # 2e-5: chunk twin uses split-bf16 _tri_dot, the full-width
+        # reference is pure fp32 (weights are <= 1, so absolute suffices)
+        np.asarray(wm_ch[:, 0]), np.asarray(wm_ref_[:, 0]), atol=2e-5
     )
     # interpreter-mode Pallas forward vs the twin (same flip caveat)
     out_p, wm_p = R._composite_fwd_pallas(entries_t, tiles_x, 16)
@@ -145,7 +150,10 @@ def test_chunked_forward_matches_unchunked_reference():
         np.asarray(out_p), np.asarray(out_ch), atol=5e-3, rtol=1e-3
     )
     np.testing.assert_allclose(
-        np.asarray(wm_p), np.asarray(wm_ch), atol=1e-6
+        # 2e-5: XLA CPU may reassociate the two bf16 partial dots of
+        # _tri_dot differently between the interpret-mode kernel and the
+        # vmapped twin
+        np.asarray(wm_p), np.asarray(wm_ch), atol=2e-5
     )
 
 

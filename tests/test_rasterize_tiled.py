@@ -42,10 +42,49 @@ def _proj(means, quats, scales):
     return project_2dgs(means, quats, scales, EYE4, K, W, H, 0.01, 100.0)
 
 
+def test_tile_encode_two_bucket_matches_single_when_unclamped():
+    """When every small-bucket splat's bbox fits the small window and every
+    big splat lands in the big bucket, the two-bucket encode must produce
+    EXACTLY the same tile lists as the single-bucket one."""
+    n = 128
+    key = jax.random.PRNGKey(9)
+    k1, k2 = jax.random.split(key)
+    means2d = jax.random.uniform(
+        k1, (n, 2), minval=4.0, maxval=float(min(W, H)) - 4.0
+    )
+    depths = jax.random.uniform(k2, (n,), minval=0.5, maxval=5.0)
+    # 10 big splats (well under k_big = n//8 = 16), the rest tiny
+    radii = jnp.full((n,), 2.0).at[:10].set(40.0)
+    valid = jnp.ones((n,), bool)
+
+    a = tile_encode(means2d, radii, depths, valid, W, H, 16, 64, 32)
+    b = tile_encode(means2d, radii, depths, valid, W, H, 16, 64, 32,
+                    tile_expand_small=8)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+    np.testing.assert_array_equal(np.asarray(a[2]), np.asarray(b[2]))
+
+
+def test_tile_encode_clamp_frac_reports_small_bucket_clamping():
+    """Force > n//8 big splats: the overflow ones land in the small bucket,
+    get window-clamped, and must be counted in clamp_frac."""
+    n = 64
+    means2d = jnp.tile(
+        jnp.array([[W / 2.0, H / 2.0]], jnp.float32), (n, 1)
+    )
+    depths = jnp.arange(n, dtype=jnp.float32) + 1.0
+    radii = jnp.full((n,), 30.0)   # every splat spans many tiles
+    valid = jnp.ones((n,), bool)
+    out = tile_encode(means2d, radii, depths, valid, W, H, 16, 64, 32,
+                      tile_expand_small=4)
+    clamp_frac = float(out[4])
+    assert clamp_frac > 0.5   # most splats are in the clamped small bucket
+
+
 def test_tile_encode_lists_are_front_to_back():
     means, quats, scales, opac, colors = _random_scene(40)
     p = _proj(means, quats, scales)
-    lists, counts, binned, _drop = tile_encode(
+    lists, counts, binned, _drop, _clamp = tile_encode(
         p.means2d, p.radii, p.depths, p.valid, W, H, 16, 64, 64
     )
     n = means.shape[0]

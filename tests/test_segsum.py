@@ -38,6 +38,23 @@ def test_sorted_segment_sum_matches_scatter(feat):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+def test_sorted_segment_sum_wide_feat():
+    """feat > 8 path (rasterizer entry tables): 2-op perm sort + row gather
+    + small-block kernel tuning, exactly as segment_sum dispatches on TPU."""
+    keys, vals = _data(r=2000, slots=500, feat=24, seed=7)
+    sk, perm = jax.lax.sort(
+        (keys, jnp.arange(2000, dtype=jnp.int32)), num_keys=1
+    )
+    sv = jnp.take(vals, perm, axis=0)
+    out = S.sorted_segment_sum_pallas(
+        sk, sv.T, 500, block_slots=128, chunk=128, r_width=16
+    )
+    ref = S.segment_sum_ref(keys, vals, 500)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-5
+    )
+
+
 def test_segment_sum_drops_out_of_range():
     keys, vals = _data(r=500, slots=100, dupes=False)  # many keys >= slots
     out_ref = S.segment_sum_ref(keys, vals, 100)
