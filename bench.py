@@ -75,7 +75,8 @@ def bench_render():
         n,
     )
     settings = RenderSettings(
-        width=W, height=H, tile_cap=256, tile_expand=32, tile_batch=16
+        width=W, height=H, tile_cap=256, tile_expand=32,
+        tile_expand_small=8, tile_batch=16
     )
     pose = jnp.eye(4, dtype=jnp.float32)
     K = jnp.asarray(cam.K, jnp.float32)

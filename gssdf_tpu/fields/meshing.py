@@ -110,7 +110,9 @@ def extract_mesh(
         if nv == 0:
             continue   # fully unobserved slab: no surface can be extracted
         slab_elems = xn * ny * nz
-        bucket = 1 << max(int(np.ceil(np.log2(max(nv, 1)))), 10)
+        # power-of-4 buckets: each distinct bucket is one (tunnel-slow)
+        # compile, so quantize coarsely
+        bucket = 1 << max(-(-max(nv, 1).bit_length() // 2) * 2, 12)
         if bucket <= slab_elems // 2:
             sdf_grid = eval_compact(xs_j, vm, bucket)
         else:

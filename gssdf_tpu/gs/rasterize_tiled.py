@@ -31,7 +31,7 @@ from typing import Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from ..ops.pallas.segsum import table_gather
+from ..ops.pallas.segsum import segment_max, table_gather
 from .rasterize_jax import composite, pixel_weights_from_coeffs, splat_coeffs
 
 
@@ -338,10 +338,8 @@ def rasterize_tiled(
         )
         out_t, wm = tile_composite(entries_t, tiles_x, tile_size)
         outs = jnp.swapaxes(out_t[:, :10, :], -1, -2)      # [T, ts2, 10]
-        vis = (
-            jnp.zeros((n + 1,), dtype=means2d.dtype)
-            .at[tile_lists.reshape(-1)]
-            .max(wm[:, 0, :].reshape(-1), mode="drop")
+        vis = segment_max(
+            tile_lists.reshape(-1), wm[:, 0, :].reshape(-1), n + 1
         )
     else:
         # pad tile count to a multiple of tile_batch with sentinel-only tiles
@@ -390,10 +388,8 @@ def rasterize_tiled(
             body, 0, (tids_all.reshape(nb, tile_batch), entries)
         )
         # per-splat visibility: one segment-max over all tile entries
-        vis = (
-            jnp.zeros((n + 1,), dtype=means2d.dtype)
-            .at[tile_lists.reshape(-1)]
-            .max(wmaxes.reshape(-1), mode="drop")
+        vis = segment_max(
+            tile_lists.reshape(-1), wmaxes.reshape(-1), n + 1
         )
         outs = outs.reshape(nb * tile_batch, ts2, -1)[:num_tiles]
 

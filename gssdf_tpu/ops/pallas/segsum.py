@@ -235,6 +235,170 @@ def segment_sum(keys, vals, num_slots, **kw):
 
 
 # ---------------------------------------------------------------------------
+# sorted windowed segment-max (scalar, non-negative values)
+# ---------------------------------------------------------------------------
+
+
+def _segmax_kernel(
+    starts_ref,            # [nblocks+1] scalar-prefetch int32
+    pack_ref,              # [4, R_pad] int32 HBM: row 0 keys, row 1 values
+    out_ref,               # [sub_rows, lanes] VMEM block
+    pscr, sems,            # [2, 4, chunk] double-buffered stream scratch
+    *,
+    block_slots: int,
+    chunk: int,
+    sub_rows: int,
+):
+    b = pl.program_id(0)
+    start = (starts_ref[b] // chunk) * chunk
+    end = starts_ref[b + 1]
+    n = jnp.maximum(end - start, 0)
+    nchunks = jax.lax.div(n + chunk - 1, chunk)
+    lanes = block_slots // sub_rows
+    base = b * block_slots
+
+    out_ref[:] = jnp.zeros_like(out_ref)
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (lanes, chunk), 0)
+
+    def dma(slot, s):
+        return pltpu.make_async_copy(
+            pack_ref.at[:, pl.ds(start + s * chunk, chunk)],
+            pscr.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(nchunks > 0)
+    def _():
+        dma(0, 0).start()
+
+    def body(s, _):
+        slot = jax.lax.rem(s, 2)
+        nxt = jax.lax.rem(s + 1, 2)
+
+        @pl.when(s + 1 < nchunks)
+        def _():
+            dma(nxt, s + 1).start()
+
+        dma(slot, s).wait()
+        pk = pscr[slot]
+        k = pk[0:1, :] - base
+        ok = (k >= 0) & (k < block_slots)
+        vals = pltpu.bitcast(pk[1:2], jnp.float32)       # [1, U]
+        q_u = jnp.where(ok, k // lanes, -1)
+        r_u = jnp.where(ok, k % lanes, -1)
+        for q in range(sub_rows):                        # static unroll
+            pick = (q_u == q) & (r_u == iota_r)          # [lanes, U]
+            contrib = jnp.max(jnp.where(pick, vals, 0.0), axis=1)
+            out_ref[q] = jnp.maximum(out_ref[q], contrib)
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, body, 0)
+
+
+def sorted_segment_max_pallas(
+    keys_sorted: jnp.ndarray,   # [R] int32 ascending (sentinels >= num_slots)
+    vals_sorted: jnp.ndarray,   # [R] f32, NON-NEGATIVE
+    num_slots: int,
+    *,
+    block_slots: int = 1024,
+    chunk: int = 2048,
+    sub_rows: int = 8,
+) -> jnp.ndarray:
+    """Per-slot max of sorted non-negative rows -> [num_slots] (empty slots
+    report 0, matching ``zeros().at[k].max(v)``)."""
+    assert block_slots % sub_rows == 0
+    s_pad = _round_up(max(num_slots, block_slots), block_slots)
+    nblocks = s_pad // block_slots
+    lanes = block_slots // sub_rows
+
+    r = keys_sorted.shape[0]
+    r_pad = _round_up(r, chunk) + chunk
+    keys_p = jnp.full((r_pad,), s_pad, jnp.int32).at[:r].set(keys_sorted)
+    vals_p = jnp.zeros((1, r_pad), jnp.float32).at[0, :r].set(vals_sorted)
+    pack = jnp.concatenate(
+        [keys_p[None], jax.lax.bitcast_convert_type(vals_p, jnp.int32),
+         jnp.zeros((2, r_pad), jnp.int32)]
+    )
+    starts = jnp.searchsorted(
+        keys_p[:r], jnp.arange(nblocks + 1, dtype=jnp.int32) * block_slots
+    ).astype(jnp.int32)
+
+    kernel = functools.partial(
+        _segmax_kernel, block_slots=block_slots, chunk=chunk,
+        sub_rows=sub_rows,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nblocks,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+            out_specs=pl.BlockSpec(
+                (sub_rows, lanes), lambda b, starts: (b, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, 4, chunk), jnp.int32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((nblocks * sub_rows, lanes),
+                                       jnp.float32),
+        interpret=_INTERPRET,
+    )(starts, pack)
+    return out.reshape(s_pad)[:num_slots]
+
+
+def segment_max_ref(keys, vals, num_slots):
+    """Pure-JAX twin: zeros().at[keys].max(vals, mode=drop)."""
+    return (
+        jnp.zeros((num_slots,), vals.dtype)
+        .at[keys]
+        .max(vals, mode="drop")
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def segment_max(keys, vals, num_slots: int):
+    """Differentiable per-slot max of NON-NEGATIVE scalar rows.
+
+    Forward on TPU: one 2-operand sort + windowed Pallas kernel (XLA's
+    scatter-max runs row-serially at ~10 ns/row). Backward mirrors XLA's
+    scatter-max vjp exactly: the cotangent of each slot splits evenly
+    among tying rows, with the zero initial value counting as a tie.
+    """
+    return _segment_max_impl(keys, vals, num_slots)
+
+
+def _segment_max_impl(keys, vals, num_slots):
+    if jax.default_backend() != "tpu":
+        return segment_max_ref(keys, vals, num_slots)
+    sk, sv = jax.lax.sort(
+        (keys.astype(jnp.int32), vals), num_keys=1, is_stable=False
+    )
+    return sorted_segment_max_pallas(sk, sv, num_slots)
+
+
+def _segment_max_fwd(keys, vals, num_slots):
+    out = _segment_max_impl(keys, vals, num_slots)
+    return out, (keys, vals, out)
+
+
+def _segment_max_bwd(num_slots, res, g):
+    keys, vals, out = res
+    vis_at = table_gather(out[:, None], keys)[:, 0]
+    eq = (vals == vis_at).astype(vals.dtype)
+    cnt = segment_sum(keys, eq[:, None], num_slots)[:, 0]
+    cnt = cnt + (out == 0.0)            # the zero init ties too
+    ratio = g / jnp.maximum(cnt, 1.0)
+    d_vals = eq * table_gather(ratio[:, None], keys)[:, 0]
+    return None, d_vals
+
+
+segment_max.defvjp(_segment_max_fwd, _segment_max_bwd)
+
+
+# ---------------------------------------------------------------------------
 # sorted windowed gather
 # ---------------------------------------------------------------------------
 

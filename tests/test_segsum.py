@@ -82,6 +82,40 @@ def test_sorted_segment_sum_empty_and_hot_blocks():
     assert float(jnp.abs(out).sum()) == 4000.0
 
 
+def test_sorted_segment_max_matches_scatter_max():
+    key = jax.random.PRNGKey(11)
+    k1, k2 = jax.random.split(key)
+    keys = jax.random.randint(k1, (3000,), 0, 900).astype(jnp.int32)
+    vals = jax.random.uniform(k2, (3000,))      # non-negative
+    sk, sv = jax.lax.sort((keys, vals), num_keys=1)
+    out = S.sorted_segment_max_pallas(
+        sk, sv, 1000, block_slots=128, chunk=256, sub_rows=4
+    )
+    ref = S.segment_max_ref(keys, vals, 1000)   # incl. empty slots -> 0
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0)
+
+
+def test_segment_max_vjp_matches_xla_scatter_max():
+    """Cotangent splits evenly among ties, zero-init counts as a tie —
+    exactly XLA's scatter-max vjp."""
+    idx = jnp.array([0, 0, 1, 1, 1, 2, 2], jnp.int32)
+    w = jnp.array([1.0, 1.0, 2.0, 3.0, 3.0, 0.0, 0.0])
+
+    def f_ref(w):
+        return jnp.zeros((4,)).at[idx].max(w, mode="drop")
+
+    def f_new(w):
+        return S.segment_max(idx, w, 4)
+
+    g = jnp.array([1.0, 2.0, 3.0, 4.0])
+    v_ref, vjp_ref = jax.vjp(f_ref, w)
+    v_new, vjp_new = jax.vjp(f_new, w)
+    np.testing.assert_allclose(np.asarray(v_new), np.asarray(v_ref))
+    np.testing.assert_allclose(
+        np.asarray(vjp_new(g)[0]), np.asarray(vjp_ref(g)[0])
+    )
+
+
 def test_sorted_window_gather_matches_take():
     key = jax.random.PRNGKey(3)
     table = jax.random.normal(key, (1000, 2))
