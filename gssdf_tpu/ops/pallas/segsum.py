@@ -112,15 +112,23 @@ def _segsum_kernel(
         q = jnp.where(row_ok, k // r_width, -1)   # [1, U]
         r = jnp.where(row_ok, k % r_width, -1)
 
-        A = (q == iota_q).astype(jnp.float32)          # [q_span, U]
+        A = (q == iota_q).astype(jnp.bfloat16)         # [q_span, U] exact
         rmask = (r == iota_r).astype(jnp.float32)      # [rf, U]
         vals_f = pltpu.bitcast(pk[1:1 + feat], jnp.float32)
         vt = jnp.tile(vals_f, (r_width, 1))            # [rf, U] row j -> f=j%F
         Y = rmask * vt
 
+        # split-bf16 contraction: the one-hot A is exact in bf16 and the
+        # values split hi+lo, so two 1-pass bf16 dots reproduce the f32
+        # product to ~2^-17 relative at ~3x the 6-pass HIGHEST MXU rate
+        # (this dot dominates the kernel at wide feature counts)
+        Y_hi = Y.astype(jnp.bfloat16)
+        Y_lo = (Y - Y_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        dims = (((1,), (1,)), ((), ()))
         out_ref[:] += jax.lax.dot_general(
-            A, Y, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_HI,
+            A, Y_hi, dims, preferred_element_type=jnp.float32
+        ) + jax.lax.dot_general(
+            A, Y_lo, dims, preferred_element_type=jnp.float32
         )                                               # [q_span, rf]
         return 0
 

@@ -35,7 +35,9 @@ def test_sorted_segment_sum_matches_scatter(feat):
         sk, sv, slots, block_slots=256, chunk=128, r_width=64
     )
     ref = S.segment_sum_ref(keys, vals, slots)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    # 1e-4: the kernel's split-bf16 contraction carries ~2^-17 relative
+    # error per row vs the fp32 scatter reference
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
 
 
 def test_sorted_segment_sum_wide_feat():
