@@ -698,6 +698,13 @@ class Pipeline:
                 flat[prefix] = np.asarray(tree)
 
         flatten("", self.sdf_params)
+        # full optimizer-state round-trip (beyond-reference: the reference
+        # drops Adam moments, neural_mapping.cpp:1331-1342, so its resumes
+        # restart the moment estimates)
+        if self.sdf_opt is not None:
+            flatten("__opt__.step", self.sdf_opt.step)
+            flatten("__opt__.mu", self.sdf_opt.mu)
+            flatten("__opt__.nu", self.sdf_opt.nu)
         np.savez(model_dir / "sdf_checkpoint.npz", **flat)
         if self.gs_state is not None:
             n = export_gs_ply(model_dir / "gs.ply", splat_model(self.gs_state))
@@ -728,14 +735,31 @@ class Pipeline:
                 node[parts[-1]] = jnp.asarray(data[k])
             return tree
 
-        tree = unflatten(list(data.keys()))
-        # lists were flattened with int keys; restore decoder lists
-        dec = tree["decoder"]
-        tree["decoder"] = {
-            k: [v[str(i)] for i in range(len(v))] for k, v in dec.items()
-        } if all(isinstance(v, dict) for v in dec.values()) else dec
-        self.sdf_params = tree
-        self.sdf_opt = adam_init(self.sdf_params)
+        tree = unflatten(
+            [k for k in data.keys() if not k.startswith("__opt__.")]
+        )
+
+        def fix_decoder(t):
+            # lists were flattened with int keys; restore decoder lists
+            dec = t["decoder"]
+            t["decoder"] = {
+                k: [v[str(i)] for i in range(len(v))] for k, v in dec.items()
+            } if all(isinstance(v, dict) for v in dec.values()) else dec
+            return t
+
+        self.sdf_params = fix_decoder(tree)
+        opt_keys = [k for k in data.keys() if k.startswith("__opt__.")]
+        if opt_keys:
+            from .optim import AdamState
+
+            ot = unflatten(opt_keys)["__opt__"]
+            self.sdf_opt = AdamState(
+                step=jnp.asarray(ot["step"]),
+                mu=fix_decoder(ot["mu"]),
+                nu=fix_decoder(ot["nu"]),
+            )
+        else:
+            self.sdf_opt = adam_init(self.sdf_params)
 
         prior = model_dir / "as_occ_prior.ply"
         if prior.exists():

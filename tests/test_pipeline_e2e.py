@@ -143,6 +143,7 @@ def test_renders_and_eval(run_dir):
 
 def test_checkpoint_roundtrip(run_dir):
     out, pipe = run_dir
+    import jax
     import jax.numpy as jnp
 
     from gssdf_tpu.config import Config
@@ -163,6 +164,13 @@ def test_checkpoint_roundtrip(run_dir):
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-6)
     # splats reloaded
     assert int(jnp.sum(pipe2.gs_state.alive)) > 0
+    # Adam moments round-trip (beyond reference: torch ckpt drops them)
+    assert int(pipe2.sdf_opt.step) == int(pipe.sdf_opt.step) > 0
+    for a, b in zip(
+        jax.tree_util.tree_leaves(pipe.sdf_opt.mu),
+        jax.tree_util.tree_leaves(pipe2.sdf_opt.mu),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
 
 
 def test_pipeline_mesh_train(run_dir, tmp_path_factory):
