@@ -73,8 +73,10 @@ class DensifyState(NamedTuple):
 
 
 def densify_state_init(capacity: int) -> DensifyState:
-    z = jnp.zeros((capacity,), jnp.float32)
-    return DensifyState(grad2d=z, count=z, vis=z, radii=z, seen=z)
+    # distinct buffers per field: reusing one zeros array across leaves
+    # makes the state pytree alias itself, which breaks jit buffer donation
+    z = lambda: jnp.zeros((capacity,), jnp.float32)
+    return DensifyState(grad2d=z(), count=z(), vis=z(), radii=z(), seen=z())
 
 
 # ---------------------------------------------------------------------------

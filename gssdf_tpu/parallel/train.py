@@ -80,6 +80,7 @@ def make_sharded_sdf_train_step(
         step_impl,
         in_shardings=(rep, rep, shard, shard, shard, rep, rep, rep),
         out_shardings=(rep, rep, rep),
+        donate_argnums=(0, 1),
     )
 
 
@@ -250,6 +251,7 @@ def make_multicam_gs_train_step(
         return jax.jit(
             step_impl,
             static_argnames=("sh_active", "opt_struct", "color_only"),
+            donate_argnums=(0,),
         )
     rep = NamedSharding(mesh, P())
     shard = NamedSharding(mesh, P("data"))
@@ -259,4 +261,5 @@ def make_multicam_gs_train_step(
         in_shardings=(rep, shard, shard, shard, shard, shard, rep, rep, rep,
                       rep, rep),
         out_shardings=(rep, rep),
+        donate_argnums=(0,),
     )

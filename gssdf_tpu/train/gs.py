@@ -178,7 +178,15 @@ def make_gs_train_step(
     sh_degree*, opt_struct*) — starred args static."""
     K = jnp.asarray(cam.K, jnp.float32)
 
-    @functools.partial(jax.jit, static_argnames=("sh_active", "opt_struct", "color_only"))
+    # donate the state: params + Adam moments + densify stats update in
+    # place (the splat store dominates HBM traffic; no-op warning on CPU).
+    # Every GSState constructor must keep its leaves alias-free — see
+    # densify_state_init.
+    @functools.partial(
+        jax.jit,
+        static_argnames=("sh_active", "opt_struct", "color_only"),
+        donate_argnums=(0,),
+    )
     def step(
         state: GSState,
         gt_image,

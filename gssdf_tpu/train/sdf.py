@@ -241,7 +241,9 @@ def make_sdf_train_step(
 ):
     """Builds the jitted (params, opt, rays, key, std, lr) -> ... step."""
 
-    @jax.jit
+    # donate params + moments: the step updates them in place (no fresh
+    # 3x-table allocation per iteration; no-op warning on CPU)
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(
         params,
         opt_state: AdamState,

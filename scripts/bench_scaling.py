@@ -80,8 +80,10 @@ def main():
             truncated_dis=0.15, inner_half_extent=3.0,
         )
         step = make_sharded_sdf_train_step(spec, geom, grid, mesh)
-        params = replicate(mesh, params0)
-        opt = replicate(mesh, opt0)
+        # fresh copies per mesh size: the step donates params/opt buffers
+        copy = lambda t: jax.tree_util.tree_map(jnp.array, t)
+        params = replicate(mesh, copy(params0))
+        opt = replicate(mesh, copy(opt0))
         r = spec.batch_rays
         key = jax.random.PRNGKey(1)
         d = jax.random.normal(key, (r, 3))
@@ -138,7 +140,8 @@ def main():
             gs_iter_step=100,
         )
         step = make_multicam_gs_train_step(spec, geom, grid, cam, mesh)
-        state = replicate(mesh, gs_state_init(params0, model))
+        copy = lambda t: jax.tree_util.tree_map(jnp.array, t)
+        state = replicate(mesh, gs_state_init(copy(params0), copy(model)))
         gt = jnp.zeros((nd, H, W, 3))
         poses = jnp.tile(jnp.eye(4)[None], (nd, 1, 1))
         poses = poses.at[:, 2, 3].set(-4.0)

@@ -30,6 +30,11 @@ from gssdf_tpu.train.sdf import SDFTrainSpec
 from gssdf_tpu.utils.math import logit
 
 W, H = 48, 32
+
+def _ctree(t):
+    """Deep-copy a pytree: the train steps donate their state argument."""
+    return jax.tree_util.tree_map(jnp.array, t)
+
 CAM = Camera(fx=60.0, fy=60.0, cx=W / 2, cy=H / 2, width=W, height=H)
 
 
@@ -234,7 +239,7 @@ def test_color_only_step_freezes_structure(scene):
             jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (r, 1)),
             jnp.full((r, 1), 2.0))
     state2, aux = trainer.step_fn(
-        state, gts[0], poses[0], *rays, jax.random.PRNGKey(0),
+        _ctree(state), gts[0], poses[0], *rays, jax.random.PRNGKey(0),
         0.05, 0.0, 1.6e-3, 0, False, True,
     )
     p0, p1 = state.params["gs"], state2.params["gs"]
@@ -265,12 +270,14 @@ def test_image_mask_gates_rgb_losses(scene):
     key = jax.random.PRNGKey(0)
 
     _, aux_clean = trainer.step_fn(
-        state, gts[0], poses[0], *rays, key, 0.05, 0.0, 0.0, 0, False)
+        _ctree(state), gts[0], poses[0], *rays, key, 0.05, 0.0, 0.0, 0,
+        False)
     _, aux_masked = trainer.step_fn(
-        state, bad_gt, poses[0], *rays, key, 0.05, 0.0, 0.0, 0, False,
-        mask=mask)
+        _ctree(state), bad_gt, poses[0], *rays, key, 0.05, 0.0, 0.0, 0,
+        False, mask=mask)
     _, aux_bad = trainer.step_fn(
-        state, bad_gt, poses[0], *rays, key, 0.05, 0.0, 0.0, 0, False)
+        _ctree(state), bad_gt, poses[0], *rays, key, 0.05, 0.0, 0.0, 0,
+        False)
 
     # corruption inflates the unmasked loss but not the masked one
     assert float(aux_bad["color"]) > 5 * float(aux_clean["color"])

@@ -37,6 +37,11 @@ def _field_spec():
     )
 
 
+def _ctree(t):
+    """Deep-copy a pytree: the train steps donate their state argument."""
+    return jax.tree_util.tree_map(jnp.array, t)
+
+
 def test_mesh_has_8_devices():
     mesh = make_mesh()
     assert mesh.devices.size == 8
@@ -61,7 +66,8 @@ def test_sharded_sdf_step_matches_single_device():
     t = jnp.full((64, 1), 1.0)
 
     single = make_sdf_train_step(spec, geom, grid)
-    p1, o1, aux1 = single(params, opt, o, d, t, key, 0.05, 1e-3)
+    p1, o1, aux1 = single(_ctree(params), _ctree(opt), o, d, t, key,
+                          0.05, 1e-3)
 
     mesh = make_mesh()
     sharded = make_sharded_sdf_train_step(spec, geom, grid, mesh)
@@ -131,7 +137,7 @@ def test_multicam_gs_step_sharded():
     o_s, d_s, t_s = shard_batch(mesh, (o, d, t))
 
     state2, aux = step(
-        state, gt_s, poses_s, o_s, d_s, t_s, jax.random.PRNGKey(2),
+        _ctree(state), gt_s, poses_s, o_s, d_s, t_s, jax.random.PRNGKey(2),
         0.05, 1e-4, 1.6e-4, 0, False, False, None,
     )
     for k, v in aux.items():
@@ -201,7 +207,8 @@ def test_multicam_step_matches_single_cam():
 
     single = make_gs_train_step(spec, geom, grid, cam)
     s1, aux1 = single(
-        state, gt, pose, *rays, key, 0.05, 1e-4, 1.6e-4, 0, False, False,
+        _ctree(state), gt, pose, *rays, key, 0.05, 1e-4, 1.6e-4, 0,
+        False, False,
         None,
     )
 
@@ -209,7 +216,8 @@ def test_multicam_step_matches_single_cam():
     gt_b = jnp.stack([gt, gt])
     pose_b = jnp.stack([pose, pose])
     s2, aux2 = multi(
-        state, gt_b, pose_b, *rays, key, 0.05, 1e-4, 1.6e-4, 0, False,
+        _ctree(state), gt_b, pose_b, *rays, key, 0.05, 1e-4, 1.6e-4, 0,
+        False,
         False, None,
     )
     np.testing.assert_allclose(
