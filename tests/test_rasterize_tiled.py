@@ -191,3 +191,21 @@ def test_tiled_jits_and_caps_degrade_gracefully():
     res = fn()
     for v in res.values():
         assert np.isfinite(np.asarray(v)).all()
+
+
+def test_tile_encode_all_invalid_and_tiny_n():
+    """All-invalid splats produce empty tile lists; n < 64 falls back to the
+    single-bucket path even when tile_expand_small is set."""
+    for n in (8, 128):
+        means2d = jnp.full((n, 2), 30.0)
+        depths = jnp.ones((n,))
+        radii = jnp.full((n,), 5.0)
+        valid = jnp.zeros((n,), bool)
+        lists, counts, binned, drop, clamp = tile_encode(
+            means2d, radii, depths, valid, W, H, 16, 16, 16,
+            tile_expand_small=4,
+        )
+        assert int(counts.sum()) == 0
+        assert np.all(np.asarray(lists) == n)
+        assert not bool(binned.any())
+        assert float(drop) == 0.0 and float(clamp) == 0.0
