@@ -19,6 +19,18 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(
     n_devices: Optional[int] = None, axis: str = "data"
 ) -> Mesh:
+    """1-D data mesh. Multi-host (BASELINE.md config 5): device order comes
+    from a hybrid (DCN hosts x ICI local) mesh so that neighboring mesh
+    positions are ICI neighbors — the SPMD all-reduce then hierarchically
+    reduces within each host over ICI before crossing DCN."""
+    if n_devices is None and jax.process_count() > 1:
+        from jax.experimental.mesh_utils import create_hybrid_device_mesh
+
+        devs = create_hybrid_device_mesh(
+            mesh_shape=(jax.local_device_count(),),
+            dcn_mesh_shape=(jax.process_count(),),
+        )
+        return Mesh(devs.reshape(-1), (axis,))
     devs = jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
