@@ -109,6 +109,8 @@ def make_multicam_gs_train_step(
         color_only: bool = False,
         mask=None,     # [H, W, 1] dataset image mask (replicated) or None
     ):
+        if gt_images.dtype == jnp.uint8:
+            gt_images = gt_images.astype(jnp.float32) * (1.0 / 255.0)
         b = gt_images.shape[0]
         kr, ksamp, kreg = jax.random.split(key, 3)
         cam_keys = jax.random.split(kr, b)

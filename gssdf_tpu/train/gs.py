@@ -203,6 +203,10 @@ def make_gs_train_step(
         color_only: bool = False,
         mask=None,
     ):
+        # frames ship to the device as uint8 (4x less H2D through the
+        # tunnel than f32); normalize on-device inside the jitted step
+        if gt_image.dtype == jnp.uint8:
+            gt_image = gt_image.astype(jnp.float32) * (1.0 / 255.0)
         krender, ksamp, kreg = jax.random.split(key, 3)
         rsettings = spec.render._replace(sh_degree=sh_active)
 

@@ -307,3 +307,36 @@ def test_depth_type_median_switch(scene):
         assert np.isfinite(r_aux[dt])
     # expected vs median depth produce different normal losses
     assert r_aux[0] != r_aux[1]
+
+
+def test_uint8_gt_matches_float(scene):
+    """uint8 frames normalize on-device to exactly f32/255 (the H2D-lean
+    transfer path used by the pipeline's _FrameFetcher)."""
+    gt, poses, gts = scene
+    spec = _spec(gs_sdf_reg=False, render_normal_weight=0.0)
+    geom = MapGeometry(origin=(0.0, 0.0, 2.0), map_size=4.0)
+    grid = build_occupancy_grid(np.asarray(gt.anchors), geom, 32)
+    trainer = GSTrainer(spec, geom, grid, CAM)
+    state = _init_state(scene, spec)
+
+    r = spec.sdf.batch_rays
+    rays = (
+        jnp.zeros((r, 3)),
+        jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (r, 1)),
+        jnp.full((r, 1), 2.0),
+    )
+    g8 = np.clip(np.asarray(gts[0]) * 255.0, 0, 255).astype(np.uint8)
+    gf = jnp.asarray(g8, jnp.float32) / 255.0
+    key = jax.random.PRNGKey(3)
+    s1, aux8 = trainer.step_fn(
+        _ctree(state), jnp.asarray(g8), poses[0], *rays, key, 0.05, 0.0,
+        1.6e-3, 0, False,
+    )
+    s2, auxf = trainer.step_fn(
+        _ctree(state), gf, poses[0], *rays, key, 0.05, 0.0, 1.6e-3, 0, False,
+    )
+    assert float(aux8["color"]) == pytest.approx(float(auxf["color"]), abs=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(s1.params["gs"].offsets),
+        np.asarray(s2.params["gs"].offsets), atol=1e-7,
+    )
