@@ -20,6 +20,12 @@ def cmd_train(args):
     from .train.pipeline import Pipeline
 
     cfg = load_config(args.config, args.data, make_run_dir=True)
+    if cfg.debug:
+        # k_debug anomaly-mode analog (neural_mapping.cpp:310-312): trap
+        # NaNs at the op that produced them instead of downstream
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
     if args.iters is not None:
         cfg.sdf_iter_step = args.iters
     if args.gs_iters is not None:

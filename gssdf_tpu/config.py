@@ -170,6 +170,10 @@ class Config:
     refine_every: int = 100
     reset_alpha_every: int = 30
     pause_refine: bool = False
+    # parsed for config compatibility; densification always uses the signed
+    # accumulated means2d gradient. The reference defaults this off and
+    # advises against it for 2DGS (config/base.yaml:74), so the absgrad
+    # accumulation variant is an accepted divergence (ARCHITECTURE.md).
     use_absgrad: bool = False
 
     # --- visualization / export ---

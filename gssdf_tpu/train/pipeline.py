@@ -76,6 +76,15 @@ class Pipeline:
         self.cfg = cfg
         self.key = jax.random.PRNGKey(cfg.seed)
         self.loader = DataLoader(cfg) if with_data else None
+        if cfg.export_colmap_format and self.loader is not None:
+            # k_export_colmap_format 1=txt colmap, 2=nerfstudio, 3=binary
+            # colmap (NeuralSLAM ctor, neural_mapping.cpp:39-45)
+            from ..data.colmap_export import export_colmap
+
+            f = int(cfg.export_colmap_format)
+            export_colmap(
+                self.loader.parser, bin=f == 3, nerfstudio=f == 2
+            )
         # multi-chip mesh (cfg.mesh_shape, e.g. {"data": 8}; "data": 0 =
         # all local devices). Parameters replicate; rays/cameras shard.
         self.mesh = None
@@ -161,6 +170,9 @@ class Pipeline:
                 Path(cfg.model_path) / "as_occ_prior.ply",
                 occupied_voxel_centers(self.grid),
             )
+        if cfg.export_train_pcl and cfg.output_path:
+            # k_export_train_pcl (build_occ_map, neural_mapping.cpp:803-808)
+            write_ply_xyz(Path(cfg.output_path) / "train_points.ply", xyz)
         # device-resident flattened ray pack
         self.pack_dev = {
             "origin": jnp.asarray(pack.origin),
@@ -595,8 +607,11 @@ class Pipeline:
         """Mesh export (save_mesh, neural_mapping.cpp:1380-1402)."""
         cfg = self.cfg
         res = resolution or cfg.export_resolution
+        # k_vis_attribute: 0 = gray (storage-lean), 1 = normal colors
+        # (local_map.cpp:292-310)
         verts, faces, colors = extract_mesh(
-            self.sdf_params, self.geom, self.field_spec, self.grid, res
+            self.sdf_params, self.geom, self.field_spec, self.grid, res,
+            with_colors=cfg.vis_attribute == 1,
         )
         if cfg.cull_mesh and self.loader is not None and len(verts):
             parser = self.loader.parser
@@ -799,7 +814,8 @@ class Pipeline:
         self.export_checkpoint()
         if cfg.output_path:
             LLOG.save_timing(Path(cfg.output_path) / "timing.txt")
-        if cfg.sdf_weight > 0:
+        # k_export_mesh gate (end, neural_mapping.cpp:1689-1694)
+        if cfg.sdf_weight > 0 and cfg.export_mesh:
             verts, faces, _ = self.save_mesh(cfg.export_resolution)
             # mesh eval vs GT (eval_mesh, neural_mapping.cpp:1404-1433)
             gt = getattr(self.loader.parser, "gt_mesh_path", None) \

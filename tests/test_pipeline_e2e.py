@@ -88,6 +88,7 @@ sky_init: 0
 mesh_init: 1
 cull_mesh: 0
 export_resolution: 0.1
+export_mesh: 1
 vis_frame_step: 1000
 raymarch_max_hits: 4
 raymarch_max_steps: 128
