@@ -237,13 +237,7 @@ def tile_encode(
     drop_frac = (
         jnp.sum(jnp.maximum(raw_counts - tile_cap, 0)) / total_entries
     ).astype(jnp.float32)
-    # splats that made it into >=1 tile list — capacity-dropped splats must
-    # not be judged "invisible" by the pruner (no reference analog: the CUDA
-    # rasterizer has unbounded tile lists)
-    binned = jnp.zeros((n + 1,), bool).at[
-        tile_lists.reshape(-1)
-    ].set(True, mode="drop")[:n]
-    return tile_lists, counts, binned, drop_frac, clamp_frac
+    return tile_lists, counts, drop_frac, clamp_frac
 
 
 def rasterize_tiled(
@@ -293,7 +287,7 @@ def rasterize_tiled(
     if pix_delta is None:
         pix_delta = jnp.zeros((n, 2), means2d.dtype)
 
-    tile_lists, _, binned, drop_frac, clamp_frac = tile_encode(
+    tile_lists, _, drop_frac, clamp_frac = tile_encode(
         means2d,
         radii,
         jax.lax.stop_gradient(depths),
@@ -338,8 +332,14 @@ def rasterize_tiled(
         )
         out_t, wm = tile_composite(entries_t, tiles_x, tile_size)
         outs = jnp.swapaxes(out_t[:, :10, :], -1, -2)      # [T, ts2, 10]
-        vis = segment_max(
-            tile_lists.reshape(-1), wm[:, 0, :].reshape(-1), n + 1
+        # ONE segment-max of (w + 1) yields BOTH the per-splat visibility
+        # (max w) and list membership: m = max(w)+1 for splats with >= 1
+        # tile entry, 0 otherwise. Replaces a separate 825k-row bool
+        # scatter for `binned` (capacity-dropped splats must not be judged
+        # "invisible" by the pruner; no reference analog — CUDA lists are
+        # unbounded).
+        vis_m = segment_max(
+            tile_lists.reshape(-1), wm[:, 0, :].reshape(-1) + 1.0, n + 1
         )
     else:
         # pad tile count to a multiple of tile_batch with sentinel-only tiles
@@ -387,9 +387,9 @@ def rasterize_tiled(
         _, (outs, wmaxes) = jax.lax.scan(
             body, 0, (tids_all.reshape(nb, tile_batch), entries)
         )
-        # per-splat visibility: one segment-max over all tile entries
-        vis = segment_max(
-            tile_lists.reshape(-1), wmaxes.reshape(-1), n + 1
+        # per-splat visibility + membership: one segment-max of (w + 1)
+        vis_m = segment_max(
+            tile_lists.reshape(-1), wmaxes.reshape(-1) + 1.0, n + 1
         )
         outs = outs.reshape(nb * tile_batch, ts2, -1)[:num_tiles]
 
@@ -406,6 +406,8 @@ def rasterize_tiled(
     if background is not None:
         color = color + (1.0 - acc) * background[None, None, :]
 
+    binned = vis_m[:n] > 0.5
+    vis = jnp.where(vis_m > 0.5, vis_m - 1.0, 0.0)
     return {
         "color": color,
         "normal": normal,

@@ -62,7 +62,6 @@ def test_tile_encode_two_bucket_matches_single_when_unclamped():
                     tile_expand_small=8)
     np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
     np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
-    np.testing.assert_array_equal(np.asarray(a[2]), np.asarray(b[2]))
 
 
 def test_tile_encode_clamp_frac_reports_small_bucket_clamping():
@@ -77,17 +76,20 @@ def test_tile_encode_clamp_frac_reports_small_bucket_clamping():
     valid = jnp.ones((n,), bool)
     out = tile_encode(means2d, radii, depths, valid, W, H, 16, 64, 32,
                       tile_expand_small=4)
-    clamp_frac = float(out[4])
+    clamp_frac = float(out[3])
     assert clamp_frac > 0.5   # most splats are in the clamped small bucket
 
 
 def test_tile_encode_lists_are_front_to_back():
     means, quats, scales, opac, colors = _random_scene(40)
     p = _proj(means, quats, scales)
-    lists, counts, binned, _drop, _clamp = tile_encode(
+    lists, counts, _drop, _clamp = tile_encode(
         p.means2d, p.radii, p.depths, p.valid, W, H, 16, 64, 64
     )
     n = means.shape[0]
+    binned = np.zeros(n + 1, bool)
+    binned[np.asarray(lists).ravel()] = True
+    binned = binned[:n]
     d = np.asarray(p.depths)
     for t in range(lists.shape[0]):
         idx = np.asarray(lists[t])
@@ -201,11 +203,10 @@ def test_tile_encode_all_invalid_and_tiny_n():
         depths = jnp.ones((n,))
         radii = jnp.full((n,), 5.0)
         valid = jnp.zeros((n,), bool)
-        lists, counts, binned, drop, clamp = tile_encode(
+        lists, counts, drop, clamp = tile_encode(
             means2d, radii, depths, valid, W, H, 16, 16, 16,
             tile_expand_small=4,
         )
         assert int(counts.sum()) == 0
         assert np.all(np.asarray(lists) == n)
-        assert not bool(binned.any())
         assert float(drop) == 0.0 and float(clamp) == 0.0
