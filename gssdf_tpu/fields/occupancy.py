@@ -149,7 +149,11 @@ def raymarch(
     Level 1 probes the COARSE block grid (max-pool of _COARSE_BLOCK^3
     voxels) at half-block spacing and keeps the first ``max_hits`` occupied
     blocks; level 2 marches leaf-sized jittered steps only across those
-    blocks' ray spans (AABB slab bounds). This is the TPU dense-grid analog
+    blocks' ray spans (AABB slab bounds). The coarse stage keeps
+    ``max_blocks = 1.5 * max_hits`` blocks (a coarse cell is an 8^3 max-pool,
+    so a ray can cross an "occupied" block while touching only empty fine
+    voxels — extra block slots keep such false positives from starving
+    later hits). This is the TPU dense-grid analog
     of the reference's sparse-octree empty-space skip (OctreeAS::raymarch
     "voxel" mode, local_map.cpp:467-475): per-voxel sampling density matches
     the single-level fixed-step march in expectation, at ~1/2 the occupancy
@@ -197,7 +201,8 @@ def raymarch(
         ],
         axis=1,
     )
-    blk, blk_mask = _rank_compact(first, bid, max_hits, fill=-1)  # [N, H]
+    max_blocks = max_hits + max_hits // 2
+    blk, blk_mask = _rank_compact(first, bid, max_blocks, fill=-1)  # [N, B]
 
     # ---- slab bounds of each hit block along the ray ---------------------
     bz = blk % rc
@@ -216,7 +221,7 @@ def raymarch(
 
     # ---- level 2: leaf-step jittered march across each block span -------
     sf = int(np.ceil(b * np.sqrt(3.0))) + 1
-    jit_f = jax.random.uniform(kf, (n, max_hits, sf))
+    jit_f = jax.random.uniform(kf, (n, max_blocks, sf))
     ts_f = t0[..., None] + (
         jnp.arange(sf, dtype=jnp.float32)[None, None, :] + jit_f
     ) * leaf                                            # [N, H, Sf]
@@ -228,9 +233,9 @@ def raymarch(
     pos_f = origins[:, None, None, :] + dirs[:, None, None, :] * ts_f[..., None]
     occ_f = occupancy_query(
         grid.packed, grid.resolution, grid.geom, pos_f.reshape(-1, 3)
-    ).reshape(n, max_hits, sf)
-    hit = (occ_f & ok_f).reshape(n, max_hits * sf)
-    return _rank_compact(hit, ts_f.reshape(n, max_hits * sf), max_hits)
+    ).reshape(n, max_blocks, sf)
+    hit = (occ_f & ok_f).reshape(n, max_blocks * sf)
+    return _rank_compact(hit, ts_f.reshape(n, max_blocks * sf), max_hits)
 
 
 def occupied_voxel_centers(grid: OccupancyGrid) -> np.ndarray:

@@ -622,7 +622,7 @@ def _tg_impl(table, idx):
 
 
 def _tg_abstract(table, idx):
-    from jax._src.core import ShapedArray
+    from jax.core import ShapedArray
 
     return ShapedArray((idx.shape[0], table.shape[1]), table.dtype)
 

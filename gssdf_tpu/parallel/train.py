@@ -112,7 +112,7 @@ def make_multicam_gs_train_step(
         if gt_images.dtype == jnp.uint8:
             gt_images = gt_images.astype(jnp.float32) * (1.0 / 255.0)
         b = gt_images.shape[0]
-        kr, ksamp, kreg = jax.random.split(key, 3)
+        kr, ksamp, kreg, kreg_gs = jax.random.split(key, 4)
         cam_keys = jax.random.split(kr, b)
         rsettings = spec.render._replace(sh_degree=sh_active)
 
@@ -208,7 +208,7 @@ def make_multicam_gs_train_step(
                 ms = gs_sdf_b["gs_mask"].reshape(-1)
                 kk = spec.sdf.eikonal_sample_num
                 if 0 < kk < xs.shape[0]:
-                    sel = jax.random.randint(kreg, (kk,), 0, xs.shape[0])
+                    sel = jax.random.randint(kreg_gs, (kk,), 0, xs.shape[0])
                     xs, ms = xs[sel], ms[sel]
                 sdf_nn_loss = sdf_nn_loss + sdf_regularization(
                     sdf_p, xs, ms, geom, spec.sdf, sample_std,

@@ -207,7 +207,10 @@ def make_gs_train_step(
         # tunnel than f32); normalize on-device inside the jitted step
         if gt_image.dtype == jnp.uint8:
             gt_image = gt_image.astype(jnp.float32) * (1.0 / 255.0)
-        krender, ksamp, kreg = jax.random.split(key, 3)
+        # independent keys per random consumer: ray-side regularizers,
+        # splat-side align, numerical-fallback subset (sharing one key
+        # correlates their subset indices / probe directions)
+        krender, ksamp, kreg, kreg_gs, kreg_num = jax.random.split(key, 5)
         rsettings = spec.render._replace(sh_degree=sh_active)
 
         joint_sdf = spec.gs_sdf_reg and not spec.detach_sdf_grad
@@ -330,7 +333,7 @@ def make_gs_train_step(
                             geom,
                             spec.sdf,
                             sample_std,
-                            kreg,
+                            kreg_gs,
                             aux,
                             name="gs_align",
                         )
@@ -344,7 +347,7 @@ def make_gs_train_step(
                     kk = spec.sdf.eikonal_sample_num
                     if 0 < kk < xs.shape[0]:
                         sel = jax.random.randint(
-                            kreg, (kk,), 0, xs.shape[0]
+                            kreg_num, (kk,), 0, xs.shape[0]
                         )
                         xs, ms = xs[sel], ms[sel]
                     sdf_nn_loss = sdf_nn_loss + sdf_regularization(

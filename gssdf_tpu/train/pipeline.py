@@ -89,14 +89,22 @@ class Pipeline:
         # all local devices). Parameters replicate; rays/cameras shard.
         self.mesh = None
         if cfg.mesh_shape:
-            from jax.sharding import Mesh
-
             want = int(cfg.mesh_shape.get("data", 0))
-            devs = jax.devices()
-            n = min(want, len(devs)) if want > 0 else len(devs)
+            n = (
+                min(want, len(jax.devices())) if want > 0
+                else len(jax.devices())
+            )
             if n > 1:
-                self.mesh = Mesh(np.asarray(devs[:n]), ("data",))
-                print(f"mesh: data-parallel over {n} devices")
+                # hybrid DCN x ICI device order (parallel/mesh.py): mesh
+                # neighbors are ICI neighbors, so all-reduces reduce
+                # within hosts before crossing DCN
+                from ..parallel.mesh import make_mesh
+
+                self.mesh = make_mesh(None if want <= 0 else n)
+                print(
+                    f"mesh: data-parallel over {self.mesh.devices.size} "
+                    "devices"
+                )
         self.geom: Optional[MapGeometry] = None
         self.grid: Optional[OccupancyGrid] = None
         self.field_spec = SDFFieldSpec.from_config(cfg)
@@ -457,12 +465,19 @@ class Pipeline:
                 color_only, mask,
             )
 
+        # decode the color stack ONCE; both fetchers (color-init epoch +
+        # main loop) share it (the reference's load_colors preload,
+        # base_parser.cpp:843-857)
+        pre = (
+            _FrameFetcher.preload_stack(self.loader) if cfg.preload else None
+        )
+
         # color-init pre-pass: one epoch, structure frozen, feature lrs x10
         # (gs_train, neural_mapping.cpp:369-387)
         if cfg.color_init:
             order = _frame_order(cfg.seed, n_train, n_train, b)
             fetch = _FrameFetcher(self.loader, order, b, cfg.preload,
-                                  to_device=self.mesh is None)
+                                  to_device=self.mesh is None, pre=pre)
             for gt_b, pose_b in fetch:
                 self.gs_state, _aux = run_step(
                     gt_b, pose_b, 0.0, 0.0, 0, False, True
@@ -472,7 +487,7 @@ class Pipeline:
 
         order = _frame_order(cfg.seed, n_train, iters, b)
         fetch = _FrameFetcher(self.loader, order, b, cfg.preload,
-                              to_device=self.mesh is None)
+                              to_device=self.mesh is None, pre=pre)
 
         for i, (gt_b, pose_b) in ProgressBar(
             zip(range(0, iters, b), fetch),
@@ -524,6 +539,18 @@ class Pipeline:
                 p = self.export_test_image(cfg.test_idx, prefix=f"{i}_")
                 if p is not None:
                     LLOG.record("psnr", p)
+
+        # keep the standalone SDF optimizer view in sync with the joint
+        # phase's live moments (the shared-Adam analog of the reference's
+        # single optimizer): without this, export_checkpoint would pair
+        # final joint-phase sdf params with stale SDF-phase moments.
+        from .optim import AdamState
+
+        self.sdf_opt = AdamState(
+            step=self.gs_state.opt.step,
+            mu=self.gs_state.opt.mu["sdf"],
+            nu=self.gs_state.opt.nu["sdf"],
+        )
 
     def _train_mask(self):
         """Per-dataset image mask applied to the rgb/dssim losses
@@ -887,6 +914,13 @@ def _frame_order(seed: int, n_train: int, iters: int, batch: int):
     return order[:total]
 
 
+def _quant_u8(g) -> np.ndarray:
+    """float 0..1 -> uint8 with ROUNDING (floor would both bias the GT dark
+    by ~0.5/255 and mis-quantize exact k/255 values whose f32 product is
+    k - eps)."""
+    return np.clip(np.rint(np.asarray(g) * 255.0), 0, 255).astype(np.uint8)
+
+
 class _FrameFetcher:
     """Decoded-frame supply for the GS loop.
 
@@ -897,8 +931,32 @@ class _FrameFetcher:
     staging overlap compute (double-buffered via a bounded queue).
     """
 
+    @staticmethod
+    def preload_stack(loader):
+        """Decode the full train color stack once (uint8) — share the
+        result between fetchers (color-init + main loop) to avoid a
+        second full-decode pass."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        n = loader.num_train
+        g0, _ = loader.train_frame(0)
+        gts = np.empty((n,) + g0.shape, np.uint8)
+        poses = np.empty((n, 4, 4), np.float32)
+
+        def decode(k):
+            g, p = loader.train_frame(k)
+            gts[k] = _quant_u8(g)
+            poses[k] = np.asarray(p, np.float32)
+
+        # cv2 decode releases the GIL — threads parallelize the stack
+        # build (the reference preloads with OpenMP, base_parser.cpp:845)
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            list(ex.map(decode, range(n)))
+        print(f"preloaded {n} frames ({gts.nbytes / 1e9:.2f} GB)")
+        return gts, poses
+
     def __init__(self, loader, order, batch: int, preload: bool = False,
-                 depth: int = 2, to_device: bool = False):
+                 depth: int = 2, to_device: bool = False, pre=None):
         import queue
         import threading
 
@@ -909,20 +967,9 @@ class _FrameFetcher:
         # so the transfer overlaps the device step (double-buffered).
         # Sharded runs keep host arrays (placement is the step's job).
         self._to_device = to_device
-        self._pre = None
-        if preload:
-            n = loader.num_train
-            g0, _ = loader.train_frame(0)
-            gts = np.empty((n,) + g0.shape, np.uint8)
-            poses = np.empty((n, 4, 4), np.float32)
-            for k in range(n):
-                g, p = loader.train_frame(k)
-                gts[k] = np.clip(np.asarray(g) * 255.0, 0, 255).astype(
-                    np.uint8
-                )
-                poses[k] = np.asarray(p, np.float32)
-            self._pre = (gts, poses)
-            print(f"preloaded {n} frames ({gts.nbytes / 1e9:.2f} GB)")
+        self._pre = pre
+        if preload and pre is None:
+            self._pre = self.preload_stack(loader)
         self._q = queue.Queue(maxsize=depth)
         self._t = threading.Thread(target=self._produce, daemon=True)
         self._t.start()
@@ -934,8 +981,7 @@ class _FrameFetcher:
         if self._pre is not None:
             return self._pre[0][k], self._pre[1][k]
         g, p = self.loader.train_frame(k)
-        g8 = np.clip(np.asarray(g) * 255.0, 0, 255).astype(np.uint8)
-        return g8, np.asarray(p, np.float32)
+        return _quant_u8(g), np.asarray(p, np.float32)
 
     def _produce(self):
         try:

@@ -172,11 +172,10 @@ def align_regularization(
     if spec.align_weight <= 0:
         return 0.0
     k = spec.align_sample_num
-    ku, ks = (
-        jax.random.split(reg_key) if reg_key is not None
-        else (jax.random.PRNGKey(0), None)
-    )
-    if ks is not None and 0 < k < xyz.shape[0]:
+    # reg_key is REQUIRED: the term's coverage argument (random directions
+    # average out to the axis FD over iterations) dies with a fixed key
+    ku, ks = jax.random.split(reg_key)
+    if 0 < k < xyz.shape[0]:
         sel = jax.random.randint(ks, (k,), 0, xyz.shape[0])
         xyz, mask, grad = xyz[sel], mask[sel], grad[sel]
     u = jax.random.normal(ku, xyz.shape)

@@ -55,20 +55,27 @@ class ProgressBar:
         start = time.perf_counter()
         last = 0.0
         n = 0
+        drawn_at = -1
         try:
             for item in self._it:
                 yield item
                 n += 1
                 now = time.perf_counter()
-                redraw = now - last >= self.min_interval
-                if not self._isatty:
+                if self._isatty:
+                    redraw = now - last >= self.min_interval
+                elif self.total:
                     # plain mode: ~10 lines over the whole run
-                    step = max((self.total or 10) // 10, 1)
+                    step = max(self.total // 10, 1)
                     redraw = (n % step == 0) or (n == self.total)
+                else:
+                    # unsized iterable on a file stream: time-throttled
+                    redraw = now - last >= 30.0
                 if redraw:
                     last = now
+                    drawn_at = n
                     self._draw(n, now - start, done=False)
-            self._draw(n, time.perf_counter() - start, done=True)
+            if drawn_at != n:
+                self._draw(n, time.perf_counter() - start, done=True)
         finally:
             if self._isatty:
                 self.stream.write("\n")

@@ -105,10 +105,12 @@ def render_frame(pose: np.ndarray):
     R, t = pose[:3, :3], pose[:3, 3]
     d = dcam @ R.T                                   # [H, W, 3] world dirs
     o = t[None, None]
-    with np.errstate(divide="ignore"):
+    with np.errstate(divide="ignore", invalid="ignore"):
         t_hi = (BOX_MAX - o) / d
         t_lo = (BOX_MIN - o) / d
-    t_ax = np.where(d > 0, t_hi, t_lo)               # exit t per axis
+    # exit t per axis; d == 0 never exits through that axis (a plain
+    # where(d > 0, hi, lo) would pick (BOX_MIN-o)/0 = -inf at d == 0)
+    t_ax = np.where(d > 0, t_hi, np.where(d < 0, t_lo, np.inf))
     axis = np.argmin(t_ax, axis=-1)
     t_hit = np.take_along_axis(t_ax, axis[..., None], -1)[..., 0]
     pts = o + d * t_hit[..., None]

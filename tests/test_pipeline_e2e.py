@@ -111,6 +111,9 @@ raymarch_max_steps: 128
 def test_checkpoint_written(run_dir):
     out, pipe = run_dir
     assert (out / "model" / "sdf_checkpoint.npz").exists()
+    # the exported SDF Adam moments must be the JOINT phase's live state,
+    # not the stale SDF-phase snapshot
+    assert int(pipe.sdf_opt.step) == int(pipe.gs_state.opt.step)
     assert (out / "model" / "gs.ply").exists()
     assert (out / "model" / "pt.yaml").exists()
     assert (out / "model" / "as_occ_prior.ply").exists()
