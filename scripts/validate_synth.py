@@ -176,7 +176,7 @@ def main():
     ap.add_argument("--gs-iters", type=int, default=30000)
     ap.add_argument("--frames", type=int, default=40)
     ap.add_argument("--out", default="RESULTS_r02.md")
-    ap.add_argument("--root", default="/tmp/synth_room")
+    ap.add_argument("--root", default="/tmp/synth_scene")
     args = ap.parse_args()
 
     root = Path(args.root)
@@ -203,6 +203,8 @@ mesh_init: 1
 cull_mesh: 0
 export_resolution: 0.02
 export_interval: 2000
+export_mesh: 1
+vis_attribute: 1
 preload: 1
 """)
 
