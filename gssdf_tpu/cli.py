@@ -205,6 +205,8 @@ def cmd_convert_bag(args):
         T_C_L=np.asarray(cfg.T_C_L) if cfg.T_C_L is not None else np.eye(4),
         T_B_L=np.asarray(cfg.T_B_L) if cfg.T_B_L is not None else np.eye(4),
         topics=R3LIVE_TOPICS if args.r3live else FASTLIVO_TOPICS,
+        psnr_threshold=args.psnr_threshold,
+        blur_threshold=args.blur_threshold,
     )
 
 
@@ -257,6 +259,10 @@ def main(argv=None):
     pb.add_argument("config")
     pb.add_argument("--out", default=None)
     pb.add_argument("--r3live", action="store_true")
+    pb.add_argument("--psnr-threshold", type=float, default=0.0,
+                    help="skip frames with PSNR vs last export above this")
+    pb.add_argument("--blur-threshold", type=float, default=0.0,
+                    help="replace frames with Laplacian variance below this")
     pb.set_defaults(fn=cmd_convert_bag)
 
     pe = sub.add_parser("export-colmap")

@@ -56,6 +56,25 @@ def _nearest(stamp, times, max_dt=0.01) -> Optional[int]:
     return i if abs(times[i] - stamp) < max_dt else None
 
 
+def _psnr_u8(a: np.ndarray, b: np.ndarray) -> float:
+    """PSNR between uint8 images (rosbag_to_colmap.py:255-277)."""
+    if a.shape != b.shape:
+        return 0.0
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return 20.0 * np.log10(255.0 / np.sqrt(mse))
+
+
+def _blur_score(img: np.ndarray) -> float:
+    """Laplacian-variance sharpness (rosbag_to_colmap.py:280-307);
+    higher = sharper."""
+    import cv2
+
+    gray = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY) if img.ndim == 3 else img
+    return float(cv2.Laplacian(gray, cv2.CV_64F).var())
+
+
 def convert_bag(
     bag_path,
     out_dir,
@@ -64,8 +83,17 @@ def convert_bag(
     T_B_L: np.ndarray,
     topics: dict = FASTLIVO_TOPICS,
     max_dt: float = 0.01,
+    psnr_threshold: float = 0.0,
+    blur_threshold: float = 0.0,
+    blur_search_radius: int = 5,
 ) -> Path:
-    """Returns ``out_dir`` populated with the exported layout."""
+    """Returns ``out_dir`` populated with the exported layout.
+
+    ``psnr_threshold`` > 0 skips frames too similar to the last export
+    (PSNR above the threshold); ``blur_threshold`` > 0 replaces blurry
+    candidates with the sharpest nearby frame within
+    ``blur_search_radius`` that still passes the PSNR check
+    (rosbag_to_colmap.py:645-700 frame-selection semantics)."""
     import cv2
 
     out = Path(out_dir)
@@ -95,25 +123,77 @@ def convert_bag(
     times = np.asarray(pose_times)
     cam_und, mx, my = camera.undistort_maps()
 
+    dec_cache: dict = {}
+
+    def dec(i):
+        """(stamp, undistorted BGR image, pose idx) for color msg i."""
+        if i in dec_cache:
+            return dec_cache[i]
+        msg = color_msgs[i]
+        if msg.msg_type.endswith("CompressedImage"):
+            stamp, img = parse_compressed_image(msg.raw)
+        else:
+            stamp, img, enc = parse_image(msg.raw)
+            if enc.startswith("rgb") and img is not None:
+                img = img[..., ::-1]  # store BGR like cv_bridge "bgr8"
+        idx = _nearest(stamp, times, max_dt)
+        if img is not None and mx is not None:
+            img = cv2.remap(img, mx, my, cv2.INTER_LINEAR)
+        dec_cache[i] = (stamp, img, idx)
+        if len(dec_cache) > 2 * blur_search_radius + 4:
+            dec_cache.pop(min(dec_cache))
+        return dec_cache[i]
+
     n_color = 0
+    n_skip_psnr = n_replace_blur = 0
+    prev_img = None
+    i = 0
     with open(out / "color_poses.txt", "w") as f:
-        for msg in color_msgs:
-            if msg.msg_type.endswith("CompressedImage"):
-                stamp, img = parse_compressed_image(msg.raw)
-            else:
-                stamp, img, enc = parse_image(msg.raw)
-                if enc.startswith("rgb"):
-                    img = img[..., ::-1]  # store BGR like cv_bridge "bgr8"
-            idx = _nearest(stamp, times, max_dt)
+        while i < len(color_msgs):
+            stamp, img, idx = dec(i)
             if idx is None or img is None:
+                i += 1
                 continue
-            if mx is not None:
-                img = cv2.remap(img, mx, my, cv2.INTER_LINEAR)
+            if (
+                psnr_threshold > 0
+                and prev_img is not None
+                and _psnr_u8(img, prev_img) > psnr_threshold
+            ):
+                n_skip_psnr += 1
+                i += 1
+                continue
+            if blur_threshold > 0 and _blur_score(img) < blur_threshold:
+                # look ahead for the sharpest acceptable replacement
+                best = (_blur_score(img), i, img, idx)
+                for j in range(i + 1, min(i + 1 + blur_search_radius,
+                                          len(color_msgs))):
+                    sj, imj, pj = dec(j)
+                    if imj is None or pj is None:
+                        continue
+                    if (
+                        psnr_threshold > 0
+                        and prev_img is not None
+                        and _psnr_u8(imj, prev_img) > psnr_threshold
+                    ):
+                        continue
+                    bj = _blur_score(imj)
+                    if bj > best[0]:
+                        best = (bj, j, imj, pj)
+                if best[1] != i:
+                    n_replace_blur += 1
+                _, i, img, idx = best
             cv2.imwrite(str(out / "images" / f"{n_color}.png"), img)
             T_W_C = pose_mats[idx] @ T_B_C
             for row in T_W_C:
                 f.write(" ".join(f"{v:.9g}" for v in row) + "\n")
+            prev_img = img
             n_color += 1
+            i += 1
+    if n_skip_psnr or n_replace_blur:
+        print(
+            f"frame filter: {n_skip_psnr} skipped (psnr), "
+            f"{n_replace_blur} replaced (blur)"
+        )
 
     n_depth = 0
     with open(out / "depth_poses.txt", "w") as f:

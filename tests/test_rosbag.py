@@ -168,3 +168,69 @@ def test_convert_bag_and_reload(tmp_path):
     assert len(pack) == 6
     # first cloud in sensor frame at origin pose: depths 1 and 2
     np.testing.assert_allclose(sorted(pack.depth[:2, 0]), [1.0, 2.0], atol=1e-6)
+
+
+def _write_bag_frames(path: Path, images):
+    """Bag with one odometry + one image message per entry of ``images``."""
+    conns = {
+        0: (FASTLIVO_TOPICS["pose"], "nav_msgs/Odometry"),
+        1: (FASTLIVO_TOPICS["color"], "sensor_msgs/Image"),
+    }
+    out = b"#ROSBAG V2.0\n"
+    out += _record({"op": b"\x03", "index_pos": struct.pack("<Q", 0),
+                    "conn_count": struct.pack("<I", 2),
+                    "chunk_count": struct.pack("<I", 1)}, b" " * 8)
+    chunk = b""
+    for cid, (topic, mtype) in conns.items():
+        conn_data = (
+            _field("topic", topic.encode())
+            + _field("type", mtype.encode())
+            + _field("md5sum", b"0" * 32)
+            + _field("message_definition", b"")
+        )
+        chunk += _record(
+            {"op": b"\x07", "conn": struct.pack("<I", cid),
+             "topic": topic.encode()},
+            conn_data,
+        )
+    for i, img in enumerate(images):
+        t = 100.0 + i
+        chunk += _record(
+            {"op": b"\x02", "conn": struct.pack("<I", 0),
+             "time": _ros_time(t)},
+            _odometry(t, [0.5 * i, 0, 0], [0, 0, 0, 1]),
+        )
+        chunk += _record(
+            {"op": b"\x02", "conn": struct.pack("<I", 1),
+             "time": _ros_time(t)},
+            _image(t + 0.004, img),
+        )
+    out += _record({"op": b"\x05", "compression": b"none",
+                    "size": struct.pack("<I", len(chunk))}, chunk)
+    path.write_bytes(out)
+
+
+def test_convert_bag_frame_filtering(tmp_path):
+    """PSNR-dedup skips near-duplicates; blur check replaces a blurry frame
+    with the sharpest lookahead frame (rosbag_to_colmap.py:645-700)."""
+    rng = np.random.RandomState(0)
+    sharp_a = rng.randint(0, 255, (8, 12, 3), np.uint8)
+    blurry = np.full((8, 12, 3), 128, np.uint8)          # zero Laplacian var
+    sharp_b = rng.randint(0, 255, (8, 12, 3), np.uint8)
+    bag = tmp_path / "filt.bag"
+    _write_bag_frames(bag, [sharp_a, sharp_a.copy(), blurry, sharp_b])
+    cam = Camera(fx=10, fy=10, cx=6, cy=4, width=12, height=8)
+    out = convert_bag(
+        bag, tmp_path / "exported", cam,
+        T_C_L=np.eye(4), T_B_L=np.eye(4),
+        psnr_threshold=35.0, blur_threshold=100.0,
+    )
+    import cv2
+
+    files = sorted((out / "images").glob("*.png"))
+    # frame1 psnr-skipped (identical), frame2 replaced by frame3
+    assert len(files) == 2, files
+    got0 = cv2.imread(str(files[0]))
+    got1 = cv2.imread(str(files[1]))
+    np.testing.assert_array_equal(got0, sharp_a)
+    np.testing.assert_array_equal(got1, sharp_b)
