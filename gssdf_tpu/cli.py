@@ -141,6 +141,15 @@ def cmd_render(args):
 
     pipe = _load_run(args.run_dir)
     pf = load_poses(args.pose_file, pose_type=0)
+    poses = pf.poses
+    if args.interpolate > 1:
+        # smooth fly-through: slerp-upsample the keyframe poses
+        # (eval/inter_poses.py analog)
+        from .eval.tools import interpolate_poses
+
+        poses = interpolate_poses(
+            np.asarray(poses), len(poses) * args.interpolate
+        )
     cam = None
     specs = None
     if args.camera_spec:
@@ -151,7 +160,7 @@ def cmd_render(args):
 
     import cv2
 
-    for i, pose in enumerate(pf.poses):
+    for i, pose in enumerate(poses):
         if specs is not None:
             s = specs[min(i, len(specs) - 1)]
             cam = Camera(s.fx, s.fy, s.cx, s.cy, s.width, s.height)
@@ -186,7 +195,7 @@ def cmd_render(args):
             write_video(out_dir / src, out_dir / name, fps=args.fps)
         except Exception as e:  # pragma: no cover - codec-dependent
             print(f"video {name} failed: {e}")
-    print(f"rendered {len(pf.poses)} frames -> {out_dir}")
+    print(f"rendered {len(poses)} frames -> {out_dir}")
 
 
 def cmd_convert_bag(args):
@@ -250,6 +259,8 @@ def main(argv=None):
     pr.add_argument("run_dir")
     pr.add_argument("pose_file")
     pr.add_argument("--camera-spec", default=None)
+    pr.add_argument("--interpolate", type=int, default=1,
+                    help="slerp-upsample the pose file by this factor")
     pr.add_argument("--fps", type=int, default=30)
     pr.add_argument("--out", default=None)
     pr.set_defaults(fn=cmd_render)
