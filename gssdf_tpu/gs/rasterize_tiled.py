@@ -314,7 +314,13 @@ def rasterize_tiled(
 
     ts2 = tile_size * tile_size
     if use_pallas:
-        from ..ops.pallas.raster import F_ROWS, tile_composite
+        import os
+
+        if os.environ.get("GSSDF_RASTER_V2"):
+            from ..ops.pallas.raster import F_ROWS
+            from ..ops.pallas.raster_v2 import tile_composite
+        else:
+            from ..ops.pallas.raster import F_ROWS, tile_composite
 
         table24 = jnp.concatenate(
             [table, jnp.zeros((n + 1, F_ROWS - table.shape[-1]), table.dtype)],

@@ -356,77 +356,85 @@ def _chunk_active(ent, cl_carry):
 
 def _fwd_kernel(ent_ref, out_ref, wmax_ref, cl_s, cw_s, cwd_s, *,
                 tiles_x: int, tile_size: int, nc: int):
-    """One grid step per TILE; the chunk loop is a static unroll inside
-    (half the grid steps of the old (T, nc) grid, one out-block write,
-    carries never leave the step). @pl.when keeps the per-chunk early
-    stop: saturated / all-sentinel chunks skip all compute."""
     t = pl.program_id(0)
+    j = pl.program_id(1)
     orows = out_ref.shape[1]
     p = tile_size * tile_size
 
-    out_ref[0] = jnp.zeros((orows, p), jnp.float32)
-    wmax_ref[0] = jnp.zeros_like(wmax_ref[0])
-    cl_s[...] = jnp.zeros_like(cl_s)
-    cw_s[...] = jnp.zeros_like(cw_s)
-    cwd_s[...] = jnp.zeros_like(cwd_s)
-    pxc, pyc = _tile_pixels(t, tiles_x, tile_size)
-    ent_all = ent_ref[0]
+    @pl.when(j == 0)
+    def _init():
+        out_ref[0] = jnp.zeros((orows, p), jnp.float32)
+        cl_s[...] = jnp.zeros_like(cl_s)
+        cw_s[...] = jnp.zeros_like(cw_s)
+        cwd_s[...] = jnp.zeros_like(cwd_s)
 
-    for j in range(nc):
-        sl = slice(j * CHUNK, (j + 1) * CHUNK)
-        ent = ent_all[:, sl]
-        cl0 = cl_s[...]
-        active = _chunk_active(ent, cl0)
+    ent = ent_ref[0]
+    cl0 = cl_s[...]
+    active = _chunk_active(ent, cl0)
 
-        @pl.when(active)
-        def _work(j=j, sl=sl, ent=ent, cl0=cl0):
-            cw0, cwd0 = cw_s[...], cwd_s[...]
-            out10, wmax_row, cl1, cw1, cwd1 = _chunk_fwd(
-                ent, pxc, pyc, cl0, cw0, cwd0
-            )
-            out_ref[0, 0:10] = out_ref[0, 0:10] + out10
-            # stored carries-at-chunk-start: rows 10+j (cl), 10+nc+j (cum-w)
-            out_ref[0, 10 + j:11 + j, :] = cl0.T
-            out_ref[0, 10 + nc + j:11 + nc + j, :] = cw0.T
-            wmax_ref[0, 0:1, sl] = wmax_row[None]
-            wmax_ref[0, 1:2, sl] = jnp.ones_like(wmax_row)[None]
-            cl_s[...] = cl1
-            cw_s[...] = cw1
-            cwd_s[...] = cwd1
+    @pl.when(active)
+    def _work():
+        pxc, pyc = _tile_pixels(t, tiles_x, tile_size)
+        cw0, cwd0 = cw_s[...], cwd_s[...]
+        out10, wmax_row, cl1, cw1, cwd1 = _chunk_fwd(
+            ent, pxc, pyc, cl0, cw0, cwd0
+        )
+        out_ref[0, 0:10] = out_ref[0, 0:10] + out10
+        # stored carries-at-chunk-start: rows 10+j (cl), 10+nc+j (cum-w)
+        out_ref[0, pl.ds(10 + j, 1), :] = cl0.T
+        out_ref[0, pl.ds(10 + nc + j, 1), :] = cw0.T
+        wmax_ref[0] = jnp.concatenate(
+            [
+                wmax_row[None],
+                jnp.ones((1, ent.shape[-1]), jnp.float32),
+                jnp.zeros((6, ent.shape[-1]), jnp.float32),
+            ],
+            axis=0,
+        )
+        cl_s[...] = cl1
+        cw_s[...] = cw1
+        cwd_s[...] = cwd1
+
+    @pl.when(jnp.logical_not(active))
+    def _skip():
+        wmax_ref[0] = jnp.zeros((8, ent.shape[-1]), jnp.float32)
 
 
 def _bwd_kernel(ent_ref, outv_ref, wm_ref, go_ref, gw_ref, dent_ref,
                 sfx_wd_s, sfx_wg_s, *, tiles_x: int, tile_size: int,
                 nc: int):
     t = pl.program_id(0)
-    c = ent_ref.shape[-1]
-    p = tile_size * tile_size
+    j = pl.program_id(1)          # reverse chunk = nc - 1 - j via index maps
+    cj = nc - 1 - j
 
-    dent_ref[0] = jnp.zeros((F_ROWS, c), jnp.float32)
-    sfx_wd_s[...] = jnp.zeros_like(sfx_wd_s)
-    sfx_wg_s[...] = jnp.zeros_like(sfx_wg_s)
-    pxc, pyc = _tile_pixels(t, tiles_x, tile_size)
-    ent_all = ent_ref[0]
-    tot_w = outv_ref[0, 6][:, None]
-    tot_wd = outv_ref[0, 7][:, None]
+    @pl.when(j == 0)
+    def _init():
+        sfx_wd_s[...] = jnp.zeros_like(sfx_wd_s)
+        sfx_wg_s[...] = jnp.zeros_like(sfx_wg_s)
 
-    for cj in reversed(range(nc)):
-        sl = slice(cj * CHUNK, (cj + 1) * CHUNK)
-        ent = ent_all[:, sl]
-        active = jnp.max(wm_ref[0, 1, sl]) > 0.0
+    ent = ent_ref[0]
+    ch = ent.shape[-1]
+    active = jnp.max(wm_ref[0, 1]) > 0.0
 
-        @pl.when(active)
-        def _work(cj=cj, sl=sl, ent=ent):
-            cl0 = outv_ref[0, pl.ds(10 + cj, 1), :].T
-            cw0 = outv_ref[0, pl.ds(10 + nc + cj, 1), :].T
-            d_ent, nwd, nwg = _chunk_bwd(
-                ent, pxc, pyc, cl0, cw0, tot_w, tot_wd,
-                sfx_wd_s[...], sfx_wg_s[...],
-                wm_ref[0, 0, sl], go_ref[0], gw_ref[0, 0, sl],
-            )
-            dent_ref[0, :, sl] = d_ent
-            sfx_wd_s[...] = nwd
-            sfx_wg_s[...] = nwg
+    @pl.when(active)
+    def _work():
+        pxc, pyc = _tile_pixels(t, tiles_x, tile_size)
+        cl0 = outv_ref[0, pl.ds(10 + cj, 1), :].T
+        cw0 = outv_ref[0, pl.ds(10 + nc + cj, 1), :].T
+        tot_w = outv_ref[0, 6][:, None]
+        tot_wd = outv_ref[0, 7][:, None]
+        d_ent, nwd, nwg = _chunk_bwd(
+            ent, pxc, pyc, cl0, cw0, tot_w, tot_wd,
+            sfx_wd_s[...], sfx_wg_s[...],
+            wm_ref[0, 0], go_ref[0], gw_ref[0, 0],
+        )
+        dent_ref[0] = d_ent
+        sfx_wd_s[...] = nwd
+        sfx_wg_s[...] = nwg
+
+    @pl.when(jnp.logical_not(active))
+    def _skip():
+        dent_ref[0] = jnp.zeros((F_ROWS, ch), jnp.float32)
 
 
 def _composite_fwd_pallas(entries_t: jnp.ndarray, tiles_x: int,
@@ -442,15 +450,15 @@ def _composite_fwd_pallas(entries_t: jnp.ndarray, tiles_x: int,
     )
     return pl.pallas_call(
         kernel,
-        grid=(t_tiles,),
+        grid=(t_tiles, nc),
         in_specs=[
-            pl.BlockSpec((1, F_ROWS, c), lambda t: (t, 0, 0),
+            pl.BlockSpec((1, F_ROWS, CHUNK), lambda t, j: (t, 0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, orows, p), lambda t: (t, 0, 0),
+            pl.BlockSpec((1, orows, p), lambda t, j: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, c), lambda t: (t, 0, 0),
+            pl.BlockSpec((1, 8, CHUNK), lambda t, j: (t, 0, j),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
@@ -478,16 +486,21 @@ def _composite_bwd_pallas(entries_t, out_vals, wm_vals, g_out, g_wmax,
     kernel = functools.partial(
         _bwd_kernel, tiles_x=tiles_x, tile_size=tile_size, nc=nc
     )
-    full = lambda rows: pl.BlockSpec(
-        (1, rows, c), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
-    )
-    pix = pl.BlockSpec((1, orows, p), lambda t: (t, 0, 0),
-                       memory_space=pltpu.VMEM)
+    rev = lambda t, j: (t, 0, nc - 1 - j)
     return pl.pallas_call(
         kernel,
-        grid=(t_tiles,),
-        in_specs=[full(F_ROWS), pix, full(8), pix, full(8)],
-        out_specs=full(F_ROWS),
+        grid=(t_tiles, nc),
+        in_specs=[
+            pl.BlockSpec((1, F_ROWS, CHUNK), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, orows, p), lambda t, j: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, CHUNK), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, orows, p), lambda t, j: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, CHUNK), rev, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, F_ROWS, CHUNK), rev,
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((t_tiles, F_ROWS, c), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((p, 1), jnp.float32),

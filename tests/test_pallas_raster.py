@@ -6,6 +6,7 @@ import numpy as np
 import pytest
 
 import gssdf_tpu.ops.pallas.raster as R
+import gssdf_tpu.ops.pallas.raster_v2 as R2
 from gssdf_tpu.gs.projection import project_2dgs
 from gssdf_tpu.gs.rasterize_tiled import rasterize_tiled
 
@@ -14,11 +15,21 @@ K = jnp.array([[80.0, 0, W / 2], [0, 80.0, H / 2], [0, 0, 1]], jnp.float32)
 EYE4 = jnp.eye(4, dtype=jnp.float32)
 
 
-@pytest.fixture(autouse=True)
-def _interpret_mode():
+@pytest.fixture(autouse=True, params=["v1", "v2"])
+def KMOD(request, monkeypatch):
+    """Run every test against BOTH kernel schedulings (raster / raster_v2);
+    the env var drives the production dispatch in rasterize_tiled."""
     R._INTERPRET = True
-    yield
+    R2._INTERPRET = True
+    if request.param == "v2":
+        monkeypatch.setenv("GSSDF_RASTER_V2", "1")
+        mod = R2
+    else:
+        monkeypatch.delenv("GSSDF_RASTER_V2", raising=False)
+        mod = R
+    yield mod
     R._INTERPRET = False
+    R2._INTERPRET = False
 
 
 def _scene(n=80, seed=0):
@@ -53,7 +64,7 @@ def _run(impl, means, quats, scales, opac, colors, pix_delta=None):
     )
 
 
-def test_pallas_matches_xla_forward():
+def test_pallas_matches_xla_forward(KMOD):
     scene = _scene()
     rx = _run("xla", *scene)
     rp = _run("pallas", *scene)
@@ -67,7 +78,7 @@ def test_pallas_matches_xla_forward():
         )
 
 
-def test_pallas_gradients_match_xla():
+def test_pallas_gradients_match_xla(KMOD):
     means, quats, scales, opac, colors = _scene(40, seed=3)
     target = jnp.zeros((H, W, 3))
 
@@ -124,7 +135,7 @@ def _entries_from_scene(n=60, seed=7, tile_cap=128, tile_expand=32):
     return entries_t.astype(jnp.float32), tiles_x
 
 
-def test_chunked_forward_matches_unchunked_reference():
+def test_chunked_forward_matches_unchunked_reference(KMOD):
     """The chunk-faithful twin (and thus the Pallas kernel) reproduces the
     independent full-width reference on channel rows and wmax row 0."""
     entries_t, tiles_x = _entries_from_scene()
@@ -145,7 +156,7 @@ def test_chunked_forward_matches_unchunked_reference():
         np.asarray(wm_ch[:, 0]), np.asarray(wm_ref_[:, 0]), atol=2e-5
     )
     # interpreter-mode Pallas forward vs the twin (same flip caveat)
-    out_p, wm_p = R._composite_fwd_pallas(entries_t, tiles_x, 16)
+    out_p, wm_p = KMOD._composite_fwd_pallas(entries_t, tiles_x, 16)
     np.testing.assert_allclose(
         np.asarray(out_p), np.asarray(out_ch), atol=5e-3, rtol=1e-3
     )
@@ -157,7 +168,7 @@ def test_chunked_forward_matches_unchunked_reference():
     )
 
 
-def test_analytic_backward_matches_autodiff():
+def test_analytic_backward_matches_autodiff(KMOD):
     """d_entries from the hand-derived chunked backward == jax.vjp of the
     pure-JAX reference, under random cotangents on EVERY output channel
     (incl. the median and per-splat max-weight paths)."""
@@ -197,8 +208,8 @@ def test_analytic_backward_matches_autodiff():
     # The Pallas backward replays the forward from ITS OWN forward's saved
     # carries (as custom_vjp pairs them in production) — feeding it the
     # twin's carries would break the bit-exact keep-gate/tie replay.
-    out_pp, wm_pp = R._composite_fwd_pallas(entries_t, tiles_x, 16)
-    d_pallas = R._composite_bwd_pallas(
+    out_pp, wm_pp = KMOD._composite_fwd_pallas(entries_t, tiles_x, 16)
+    d_pallas = KMOD._composite_bwd_pallas(
         entries_t, out_pp, wm_pp, g_out, g_wmax, tiles_x, 16
     )
     p = np.asarray(d_pallas)
