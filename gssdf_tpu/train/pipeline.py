@@ -250,6 +250,8 @@ class Pipeline:
                 LLOG.record("lr", lr)
                 if log_path:
                     LLOG.flash(log_path)
+                    if i > 0 and i % 1000 == 0:
+                        _plot_async(log_path)
 
             if (
                 cfg.outlier_remove
@@ -534,6 +536,8 @@ class Pipeline:
                         LLOG.record(k, v)
                 if log_path:
                     LLOG.flash(log_path)
+                    if _fires(i, b, 2000) and i > 0:
+                        _plot_async(log_path)
 
             if cfg.export_interval > 0 and _fires(i, b, cfg.export_interval):
                 p = self.export_test_image(cfg.test_idx, prefix=f"{i}_")
@@ -912,6 +916,29 @@ def _frame_order(seed: int, n_train: int, iters: int, batch: int):
         )
         i += n_train
     return order[:total]
+
+
+def _plot_async(log_path):
+    """Regenerate the loss-curve plot off the train thread (the reference's
+    misc_loop shells to draw_loss.py asynchronously,
+    neural_mapping.cpp:1760-1770). Never raises; skips if one is running."""
+    import threading
+
+    if getattr(_plot_async, "_busy", False):
+        return
+
+    def run():
+        try:
+            from ..eval.tools import plot_log
+
+            plot_log(log_path)
+        except Exception:
+            pass
+        finally:
+            _plot_async._busy = False
+
+    _plot_async._busy = True
+    threading.Thread(target=run, daemon=True).start()
 
 
 def _quant_u8(g) -> np.ndarray:
