@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import shutil
+import sys
 import time
 from pathlib import Path
 from typing import Dict, Optional
@@ -115,6 +116,8 @@ class Pipeline:
         self.sample_std = cfg.sample_std
         self.pack_dev = None           # device-resident ray pack dict
         self.spatial_scale = 1.0
+        self._keys = _KeyWatcher()
+        self._stop = False             # 'q' keyboard command
         self._render_jit = jax.jit(
             render_splats, static_argnames=("settings", "training", "center_reg")
         )
@@ -252,6 +255,8 @@ class Pipeline:
                     LLOG.flash(log_path)
                     if i > 0 and i % 1000 == 0:
                         _plot_async(log_path)
+                if self._poll_keys():
+                    break
 
             if (
                 cfg.outlier_remove
@@ -544,6 +549,9 @@ class Pipeline:
                 if p is not None:
                     LLOG.record("psnr", p)
 
+            if log_now and self._poll_keys():
+                break
+
         # keep the standalone SDF optimizer view in sync with the joint
         # phase's live moments (the shared-Adam analog of the reference's
         # single optimizer): without this, export_checkpoint would pair
@@ -555,6 +563,45 @@ class Pipeline:
             mu=self.gs_state.opt.mu["sdf"],
             nu=self.gs_state.opt.nu["sdf"],
         )
+
+    def _handle_key(self, cmd: str):
+        """Dispatch one keyboard command at an iteration boundary
+        (keyboard_loop cases, neural_mapping.cpp:1493-1556)."""
+        tok = cmd.split()
+        if not tok:
+            return
+        c = tok[0]
+        try:
+            if c == "q":
+                print("keyboard: stopping training -> final exports")
+                self._stop = True
+            elif c == "m":
+                res = (
+                    float(tok[1]) if len(tok) > 1
+                    else self.cfg.export_resolution
+                )
+                self.save_mesh(res)
+            elif c == "o":
+                self.export_checkpoint()
+                print("checkpoint exported")
+            elif c in ("i", "p"):
+                idx = int(tok[1]) if len(tok) > 1 else self.cfg.test_idx
+                p = self.export_test_image(idx)
+                if p is not None:
+                    print(f"test image PSNR: {p:.2f}")
+            elif c == "r":
+                for split in ("train", "eval"):
+                    self.render_path(split)
+            else:
+                print(f"unknown command {c!r} (m/o/i/r/q)")
+        except Exception as e:
+            print(f"command {c!r} failed: {e}")
+
+    def _poll_keys(self):
+        cmd = self._keys.poll()
+        if cmd is not None:
+            self._handle_key(cmd)
+        return self._stop
 
     def _train_mask(self):
         """Per-dataset image mask applied to the rgb/dssim losses
@@ -833,7 +880,7 @@ class Pipeline:
         if cfg.sdf_weight > 0:
             self.nsdf_train()
             self.export_checkpoint()
-        if cfg.rgb_weight > 0:
+        if cfg.rgb_weight > 0 and not self._stop:
             self.init_gs()
             self.gs_train()
         print(f"train took {time.time() - t0:.0f}s")
@@ -916,6 +963,44 @@ def _frame_order(seed: int, n_train: int, iters: int, batch: int):
         )
         i += n_train
     return order[:total]
+
+
+class _KeyWatcher:
+    """Train-time stdin commands (keyboard_loop, neural_mapping.cpp:
+    1482-1684). Active only on an interactive TTY, so headless/CI runs are
+    untouched. Commands queue here and execute at iteration boundaries ON
+    the train thread (the reference runs them concurrently behind
+    render_mutex_; boundary execution gives the same UX without device
+    contention)."""
+
+    def __init__(self):
+        import queue
+        import threading
+
+        self.q: "queue.Queue[str]" = queue.Queue()
+        try:
+            self.active = sys.stdin is not None and sys.stdin.isatty()
+        except Exception:
+            self.active = False
+        if self.active:
+            threading.Thread(target=self._read, daemon=True).start()
+
+    def _read(self):
+        try:
+            for line in sys.stdin:
+                self.q.put(line.strip())
+        except Exception:
+            pass
+
+    def poll(self):
+        import queue
+
+        if not self.active:
+            return None
+        try:
+            return self.q.get_nowait()
+        except queue.Empty:
+            return None
 
 
 def _plot_async(log_path):

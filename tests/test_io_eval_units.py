@@ -137,3 +137,26 @@ def test_llog_columns(tmp_path):
     t = log.timer("phase")
     t.tic(); t.toc_sum()
     assert "phase" in log.timing_summary()
+
+
+def test_keyboard_commands_dispatch(monkeypatch):
+    """Train-time keyboard commands queue and dispatch at boundaries;
+    'q' requests a graceful stop."""
+    from gssdf_tpu.config import Config
+    from gssdf_tpu.train.pipeline import Pipeline
+
+    pipe = Pipeline(Config(), with_data=False)
+    assert not pipe._keys.active          # headless: watcher inert
+    assert pipe._poll_keys() is False
+
+    calls = []
+    monkeypatch.setattr(pipe, "save_mesh", lambda res: calls.append(("m", res)))
+    monkeypatch.setattr(pipe, "export_checkpoint", lambda: calls.append(("o",)))
+    pipe._keys.active = True
+    pipe._keys.q.put("m 0.25")
+    pipe._keys.q.put("o")
+    pipe._keys.q.put("q")
+    assert pipe._poll_keys() is False
+    assert pipe._poll_keys() is False
+    assert pipe._poll_keys() is True      # 'q' -> stop
+    assert calls == [("m", 0.25), ("o",)]
