@@ -362,9 +362,13 @@ def refine_splats(
     scales3 = jnp.concatenate([scale2, jnp.zeros((c, 1))], -1)   # [C, 3]
     rot = quat_to_rotmat(normalize(p.quaternion))
     eps = jax.random.normal(k1, (2, c, 3))
-    # child offsets: offset + R @ (scale * eps_k)  (split, :779-786)
+    # child offsets: offset + R @ (scale^2 * eps_k). The QUADRATIC spread is
+    # the reference's exact behavior: einsum("nij,nj,bnj->bni", rotmats,
+    # scales, sample_scales) with sample_scales = scales * randn multiplies
+    # scales in twice (split, neural_gaussian.cpp:778-790) — children land
+    # much closer to the parent than gsplat's linear-spread split.
     child_off = (
-        jnp.einsum("nij,knj->kni", rot, scales3[None] * eps)
+        jnp.einsum("nij,knj->kni", rot, (scales3 * scales3)[None] * eps)
         + p.offsets[None]
     )  # [2, C, 3]
     child_scale = jnp.log(jnp.clip(scales3 / 1.6, 1e-10))
