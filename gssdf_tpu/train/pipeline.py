@@ -669,7 +669,7 @@ class Pipeline:
             from ..eval.tools import depth_colormap
 
             base = Path(self.cfg.output_path) / "gs_log" / "mid"
-            for d in ("color", "gt", "depth"):
+            for d in ("color", "gt", "depth", "normal"):
                 (base / d).mkdir(parents=True, exist_ok=True)
             _save_image(base / "color" / f"{prefix}render.png", out["color"])
             _save_image(base / "gt" / f"{prefix}gt.png", gt)
@@ -679,6 +679,25 @@ class Pipeline:
                     depth_colormap(out["depth"][..., 0]), cv2.COLOR_RGB2BGR
                 ),
             )
+            _save_image(
+                base / "normal" / f"{prefix}normal.png",
+                out["normal"] * 0.5 + 0.5,
+            )
+            # metrics_single.py analog (neural_mapping.cpp:1313-1321):
+            # PSNR+SSIM per exported image, appended to one json
+            from ..ops.ssim import ssim as ssim_fn
+
+            s = float(
+                ssim_fn(jnp.asarray(out["color"]), jnp.asarray(gt))
+            )
+            mpath = base / "metrics.json"
+            hist = (
+                json.loads(mpath.read_text()) if mpath.exists() else {}
+            )
+            hist[f"{prefix}render.png"] = {
+                "PSNR": round(p, 3), "SSIM": round(s, 4)
+            }
+            mpath.write_text(json.dumps(hist, indent=True))
         return p
 
     def save_mesh(self, resolution: Optional[float] = None, save: bool = True):
