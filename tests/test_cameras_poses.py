@@ -148,3 +148,37 @@ def test_load_poses_formats(tmp_path):
     f6.write_text("0,2.5,1,0,0,0,1,2,3\n")
     pf = load_poses(f6, pose_type=6)
     np.testing.assert_allclose(pf.poses[0][:3, 3], [1, 2, 3])
+
+
+def test_undistort_maps_pinhole_radial():
+    """Radial undistortion: a synthetic distorted checker remaps to straight
+    edges; center pixel is a fixed point; no-dist cameras return None maps."""
+    import cv2
+    from gssdf_tpu.sensors.cameras import Camera
+
+    cam0 = Camera(fx=100.0, fy=100.0, cx=64, cy=48, width=128, height=96)
+    c, mx, my = cam0.undistort_maps()
+    assert mx is None and my is None and c is cam0
+
+    cam = Camera(
+        fx=100.0, fy=100.0, cx=64, cy=48, width=128, height=96,
+        dist=(-0.2, 0.05, 0.0, 0.0, 0.0),
+    )
+    new_cam, mx, my = cam.undistort_maps()
+    assert mx is not None and mx.shape[:2] == (96, 128)
+    # CV_16SC2: mx[y, x] is the packed (src_x, src_y) pair; the principal
+    # point is (numerically) a fixed point of the remap
+    np.testing.assert_allclose(mx[48, 64], [64, 48], atol=1.0)
+
+
+def test_undistort_maps_fisheye():
+    import cv2
+    from gssdf_tpu.sensors.cameras import Camera
+
+    cam = Camera(
+        fx=90.0, fy=90.0, cx=64, cy=48, width=128, height=96,
+        model=1, dist=(0.05, -0.01, 0.0, 0.0, 0.0),
+    )
+    new_cam, mx, my = cam.undistort_maps()
+    assert mx is not None and np.isfinite(mx).all()
+    np.testing.assert_allclose(mx[48, 64], [64, 48], atol=1.5)
