@@ -210,3 +210,36 @@ def test_tile_encode_all_invalid_and_tiny_n():
         assert int(counts.sum()) == 0
         assert np.all(np.asarray(lists) == n)
         assert float(drop) == 0.0 and float(clamp) == 0.0
+
+
+def test_tile_encode_rank_quantization_large_n():
+    """n beyond the int32 rank-bit budget quantizes depth ranks instead of
+    overflowing: keys stay int32, per-tile order stays nondecreasing at
+    bucket granularity (the 512k+-splat regime of reference-budget runs)."""
+    n = 600_000
+    W2, H2 = 1200, 680                           # 3225 tiles: 18 rank bits
+    rng = np.random.RandomState(0)
+    means2d = jnp.asarray(
+        rng.uniform([0, 0], [W2, H2], (n, 2)).astype(np.float32)
+    )
+    depths = jnp.asarray(rng.uniform(1.0, 9.0, n).astype(np.float32))
+    radii = jnp.full((n,), 4.0, jnp.float32)
+    valid = jnp.asarray(np.arange(n) < 128)      # only 128 real splats
+    lists, counts, drop, clamp = tile_encode(
+        means2d, radii, depths, valid, W2, H2, 16, 128, 4,
+    )
+    li = np.asarray(lists)
+    real = li[li < n]
+    assert len(real) > 0
+    assert (real < 128).all()                    # only valid splats binned
+    # per-tile front-to-back at quantized-rank granularity
+    rank = np.argsort(np.argsort(np.where(np.asarray(valid),
+                                          np.asarray(depths), np.inf)))
+    tile_bits = (lists.shape[0] + 1).bit_length()
+    shift = max(0, (n - 1).bit_length() - (30 - tile_bits))
+    assert shift > 0                             # the fallback actually fired
+    for t in range(lists.shape[0]):
+        r = li[t][li[t] < n]
+        if len(r) > 1:
+            q = rank[r] >> shift
+            assert (np.diff(q) >= 0).all()
