@@ -177,6 +177,9 @@ def main():
     ap.add_argument("--frames", type=int, default=40)
     ap.add_argument("--out", default="RESULTS_r02.md")
     ap.add_argument("--root", default="/tmp/synth_scene")
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny point/splat budgets + low res (CI shakeout "
+                    "of the full script incl. the RESULTS writer)")
     args = ap.parse_args()
 
     root = Path(args.root)
@@ -185,28 +188,42 @@ def main():
 
     cfg_dir = root / "cfg"
     cfg_dir.mkdir()
+    if args.smoke:
+        scale = """
+max_pt_num: 20000
+ds_pt_num: 4000
+batch_pt_num: 4096
+res_scale: 0.1
+leaf_sizes: 0.1
+gs_capacity: 16384
+tile_cap: 128
+export_resolution: 0.1
+"""
+    else:
+        scale = """
+max_pt_num: 2000000
+ds_pt_num: 400000
+batch_pt_num: 32768
+res_scale: 1.0
+leaf_sizes: 0.05
+tile_cap: 512
+export_resolution: 0.02
+"""
     (cfg_dir / "run.yaml").write_text(f"""
 dataset_type: 0
 sdf_iter_step: {args.sdf_iters}
 gs_iter_step: {args.gs_iters}
-leaf_sizes: 0.05
-max_pt_num: 2000000
 map:
   map_size: 10
-res_scale: 1.0
-ds_pt_num: 400000
-batch_pt_num: 32768
 sh_degree: 0
-tile_cap: 512
 sky_init: 0
 mesh_init: 1
 cull_mesh: 0
-export_resolution: 0.02
 export_interval: 2000
 export_mesh: 1
 vis_attribute: 1
 preload: 1
-""")
+{scale}""")
 
     from gssdf_tpu.config import load_config
     from gssdf_tpu.train.pipeline import Pipeline
