@@ -165,7 +165,40 @@ def bench_sdf():
     _emit("sdf_rays_per_s", r / dt, "rays/s")
 
 
+def _device_reachable(timeout_s: float = 300.0) -> bool:
+    """Probe backend init in a worker thread: the axon tunnel can wedge
+    ``jax.devices()`` indefinitely when the remote pool is down; a hung
+    bench leaves no artifact at all, an explicit zero-line is honest."""
+    import threading
+
+    ok = []
+
+    def probe():
+        import jax
+        import jax.numpy as jnp
+
+        x = jnp.ones((8, 8))
+        (x @ x).block_until_ready()
+        ok.append(True)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(ok)
+
+
 def main():
+    if not _device_reachable():
+        rec = {
+            "metric": "gs_render_fwd_bwd_splats_per_s",
+            "value": 0,
+            "unit": "splats/s",
+            "vs_baseline": 0.0,
+            "note": "TPU backend unreachable (axon tunnel down); no "
+            "measurement possible this run",
+        }
+        print(json.dumps(rec), flush=True)
+        return
     bench_sdf()
     n, dt_fb = bench_render()
     baseline = 1e8
