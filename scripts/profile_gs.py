@@ -110,7 +110,7 @@ def main():
 
     def enc(small):
         def f(m2d):
-            tl, _, _, df, cf = RT.tile_encode(
+            tl, _, df, cf = RT.tile_encode(
                 m2d, radii, depths, valid, W, H, TILE, CAP, EXPAND, small
             )
             # chain: feed a data-dependent perturbation back
@@ -120,7 +120,7 @@ def main():
     chain(enc(0), means2d, 20, "tile_encode single-bucket")
     chain(enc(8), means2d, 20, "tile_encode two-bucket(8, n/8)")
 
-    tl, _, _, _, _ = jax.jit(
+    tl, _, _, _ = jax.jit(
         lambda: RT.tile_encode(means2d, radii, depths, valid, W, H, TILE,
                                CAP, EXPAND, 8)
     )()

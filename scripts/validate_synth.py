@@ -172,8 +172,8 @@ def gt_surface_points(n: int = 2_000_000) -> np.ndarray:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--sdf-iters", type=int, default=5000)
-    ap.add_argument("--gs-iters", type=int, default=30000)
+    ap.add_argument("--sdf-iters", type=int, default=None)
+    ap.add_argument("--gs-iters", type=int, default=None)
     ap.add_argument("--frames", type=int, default=40)
     ap.add_argument("--out", default="RESULTS_r02.md")
     ap.add_argument("--root", default="/tmp/synth_scene")
@@ -181,6 +181,10 @@ def main():
                     help="tiny point/splat budgets + low res (CI shakeout "
                     "of the full script incl. the RESULTS writer)")
     args = ap.parse_args()
+    if args.sdf_iters is None:
+        args.sdf_iters = 60 if args.smoke else 5000
+    if args.gs_iters is None:
+        args.gs_iters = 10 if args.smoke else 30000
 
     root = Path(args.root)
     shutil.rmtree(root, ignore_errors=True)
