@@ -269,6 +269,7 @@ def rasterize_tiled(
     pix_delta: Optional[jnp.ndarray] = None,
     background: Optional[jnp.ndarray] = None,
     impl: str = "auto",
+    need_vis: bool = True,
 ) -> Dict[str, jnp.ndarray]:
     """Full tiled render. Returns [H, W, .] images + per-splat visibilities.
 
@@ -276,6 +277,9 @@ def rasterize_tiled(
     ``impl``: "auto" uses the fused Pallas composite kernel on TPU (when
     tile_size == 16 and tile_cap % 128 == 0), the XLA scan otherwise;
     "xla" / "pallas" force a path.
+    ``need_vis=False`` skips the per-splat visibility/membership reduction
+    (a [T*cap]-row sorted segment-max) — eval/novel-view renders don't
+    consume it; ``visibilities`` comes back zero and ``binned`` all-True.
     """
     n = means2d.shape[0]
     tiles_x = _cdiv(width, tile_size)
@@ -353,9 +357,12 @@ def rasterize_tiled(
         # scatter for `binned` (capacity-dropped splats must not be judged
         # "invisible" by the pruner; no reference analog — CUDA lists are
         # unbounded).
-        vis_m = segment_max(
-            tile_lists.reshape(-1), wm[:, 0, :].reshape(-1) + 1.0, n + 1
-        )
+        if need_vis:
+            vis_m = segment_max(
+                tile_lists.reshape(-1), wm[:, 0, :].reshape(-1) + 1.0, n + 1
+            )
+        else:
+            vis_m = jnp.ones((n + 1,), jnp.float32)
     else:
         # pad tile count to a multiple of tile_batch with sentinel-only tiles
         nb = _cdiv(num_tiles, tile_batch)
@@ -403,9 +410,12 @@ def rasterize_tiled(
             body, 0, (tids_all.reshape(nb, tile_batch), entries)
         )
         # per-splat visibility + membership: one segment-max of (w + 1)
-        vis_m = segment_max(
-            tile_lists.reshape(-1), wmaxes.reshape(-1) + 1.0, n + 1
-        )
+        if need_vis:
+            vis_m = segment_max(
+                tile_lists.reshape(-1), wmaxes.reshape(-1) + 1.0, n + 1
+            )
+        else:
+            vis_m = jnp.ones((n + 1,), jnp.float32)
         outs = outs.reshape(nb * tile_batch, ts2, -1)[:num_tiles]
 
     # [T, ts2, ch] -> [H, W, ch]

@@ -114,6 +114,10 @@ def render_splats(
         tile_expand_small=settings.tile_expand_small,
         tile_batch=settings.tile_batch,
         pix_delta=pix_delta,
+        # eval/novel-view renders never consume the per-splat visibility
+        # reduction (pruning statistics + GS->SDF vis mask are train-only,
+        # neural_mapping.cpp:426-430) — skip its [T*cap]-row segment-max
+        need_vis=training,
     )
 
     alpha = res["alpha"]

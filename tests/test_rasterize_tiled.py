@@ -243,3 +243,20 @@ def test_tile_encode_rank_quantization_large_n():
         if len(r) > 1:
             q = rank[r] >> shift
             assert (np.diff(q) >= 0).all()
+
+
+def test_need_vis_false_skips_reduction_but_keeps_images():
+    """need_vis=False (eval renders) must not change any image output;
+    visibilities come back zero and binned all-True."""
+    means, quats, scales, opac, colors = _random_scene()
+    p = _proj(means, quats, scales)
+    kw = dict(width=W, height=H, tile_cap=64, tile_expand=16)
+    a = rasterize_tiled(p.means2d, p.M, p.depths, p.normals, colors, opac,
+                        p.valid, p.radii, **kw)
+    b = rasterize_tiled(p.means2d, p.M, p.depths, p.normals, colors, opac,
+                        p.valid, p.radii, need_vis=False, **kw)
+    for ch in ("color", "depth", "normal", "alpha", "median", "distort"):
+        np.testing.assert_allclose(np.asarray(a[ch]), np.asarray(b[ch]))
+    assert np.asarray(a["visibilities"]).max() > 0
+    assert np.asarray(b["visibilities"]).max() == 0
+    assert np.asarray(b["binned"]).all()
