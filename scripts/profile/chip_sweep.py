@@ -161,4 +161,58 @@ for cap in (128, 256):
 # --- 4. eval-render forward: need_vis gating ---
 chain(make_fwd(base, training=True), params0, 20, "fwd training=True (vis)")
 chain(make_fwd(base, training=False), params0, 20, "fwd training=False (no vis)")
+
+# --- 5. segsum-VJP variants at rasterizer width (825k rows x 24 feats) ---
+# The gather-VJP (d_entries -> d_table) currently perm-sorts the keys and
+# row-gathers the 24-wide values; time that against a multi-operand sort
+# and against the raw pieces to see where the ~8 ms actually goes.
+from gssdf_tpu.ops.pallas.segsum import sorted_segment_sum_pallas
+
+RK = jax.random.PRNGKey(3)
+n_rows, n_slots, featw = 825_600, N + 1, 24
+keys = jax.random.randint(RK, (n_rows,), 0, n_slots, jnp.int32)
+vals = jax.random.normal(RK, (n_rows, featw), jnp.float32)
+
+
+def t_it(fn, x, iters=10, name=""):
+    y = fn(x)
+    jax.block_until_ready(y)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        x = y * 1e-30 + x          # chain
+        y = fn(x)
+    jax.block_until_ready(y)
+    print(f"{name:48s} {(time.perf_counter()-t0)/iters*1e3:8.2f} ms")
+
+
+def v_permsort(v):
+    sk, perm = jax.lax.sort(
+        (keys, jnp.arange(n_rows, dtype=jnp.int32)), num_keys=1)
+    sv = jnp.take(v, perm, axis=0)
+    return sorted_segment_sum_pallas(sk, sv.T, n_slots,
+                                     block_slots=1024, chunk=2048, r_width=16)
+
+
+def v_multiop(v):
+    ops = (keys,) + tuple(v[:, i] for i in range(featw))
+    sk, *sv = jax.lax.sort(ops, num_keys=1)
+    return sorted_segment_sum_pallas(sk, jnp.stack(sv, 0), n_slots,
+                                     block_slots=1024, chunk=2048, r_width=16)
+
+
+def v_sortonly(v):
+    sk, perm = jax.lax.sort(
+        (keys + (v[0, 0] * 1e-30).astype(jnp.int32),
+         jnp.arange(n_rows, dtype=jnp.int32)), num_keys=1)
+    return sk + perm
+
+
+def v_takeonly(v):
+    return jnp.take(v, jnp.arange(n_rows - 1, -1, -1), axis=0)
+
+
+t_it(jax.jit(v_permsort), vals, 10, "segsum-vjp permsort+take (current)")
+t_it(jax.jit(v_multiop), vals, 10, "segsum-vjp multi-operand sort")
+t_it(jax.jit(v_sortonly), vals, 10, "  isolated: 2-op sort 825k")
+t_it(jax.jit(v_takeonly), vals, 10, "  isolated: row take 825k x 24")
 print("CHIP SWEEP DONE")
