@@ -223,9 +223,11 @@ def tile_encode(
     )
 
     # entries are now grouped by tile: tile t's run is
-    # [starts[t], starts[t+1]). The tile table is a SEGMENT GATHER of
-    # T*cap elements — no per-entry rank computation or 4M-element
-    # scatter (those dominated this function's cost on TPU).
+    # [starts[t], starts[t+1]). Because each tile's sources are a
+    # CONTIGUOUS run, the [T, cap] table is T dynamic slices (lowered to
+    # one gather with slice_sizes=[cap]) — per-SLICE latency instead of
+    # the ~6-10 ns/row a T*cap-element row gather pays on TPU. The
+    # stream is padded with cap sentinels so no slice ever clamps.
     starts = jnp.searchsorted(
         sorted_key, jnp.arange(num_tiles + 1) << rank_bits, side="left"
     )
@@ -233,9 +235,11 @@ def tile_encode(
     src = starts[:-1, None] + r_idx[None, :]              # [T, cap]
     in_seg = src < starts[1:, None]
     pay_pad = jnp.concatenate(
-        [sorted_pay, jnp.full((1,), n, jnp.int32)]
+        [sorted_pay, jnp.full((tile_cap,), n, jnp.int32)]
     )
-    vals = pay_pad[jnp.minimum(src, e_total)]
+    vals = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(pay_pad, (s,), (tile_cap,))
+    )(starts[:-1])
     tile_lists = jnp.where(in_seg, vals, n)
     raw_counts = starts[1:] - starts[:-1]
     counts = jnp.minimum(raw_counts, tile_cap).astype(jnp.int32)
