@@ -108,8 +108,18 @@ def bench_render():
 
     dt_f = _chain_timeit(fwd, model.params, 20)
 
+    @jax.jit
+    def fwd_eval(params):
+        m = SplatModel(params=params, anchors=model.anchors, alive=model.alive)
+        out = render_splats(m, pose, K, settings, training=False)
+        s = jnp.mean(out["color"]) + jnp.mean(out["depth"])
+        return jax.tree.map(lambda p: p + s * 1e-30, params)
+
+    dt_e = _chain_timeit(fwd_eval, model.params, 20)
+
     _emit("gs_render_fwd_ms", dt_f * 1e3, "ms")
     _emit("gs_render_fwd_splats_per_s", n / dt_f, "splats/s")
+    _emit("gs_render_eval_fwd_ms", dt_e * 1e3, "ms")
     return n, dt_fb
 
 
