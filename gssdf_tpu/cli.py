@@ -162,7 +162,10 @@ def cmd_render(args):
 
     for i, pose in enumerate(poses):
         if specs is not None:
-            s = specs[min(i, len(specs) - 1)]
+            # per-frame specs pair with the ORIGINAL keyframes; divide out
+            # the interpolation factor so intrinsics follow their keyframe
+            k = i // max(args.interpolate, 1)
+            s = specs[min(k, len(specs) - 1)]
             cam = Camera(s.fx, s.fy, s.cx, s.cy, s.width, s.height)
         elif cam is None:
             raise SystemExit("render mode needs --camera-spec")

@@ -126,7 +126,9 @@ def convert_bag(
     dec_cache: dict = {}
 
     def dec(i):
-        """(stamp, undistorted BGR image, pose idx) for color msg i."""
+        """(stamp, undistorted BGR image, pose idx, blur score) for color
+        msg i; the Laplacian score is cached with the decode (it dominates
+        the per-frame filter cost)."""
         if i in dec_cache:
             return dec_cache[i]
         msg = color_msgs[i]
@@ -139,7 +141,11 @@ def convert_bag(
         idx = _nearest(stamp, times, max_dt)
         if img is not None and mx is not None:
             img = cv2.remap(img, mx, my, cv2.INTER_LINEAR)
-        dec_cache[i] = (stamp, img, idx)
+        blur = (
+            _blur_score(img)
+            if blur_threshold > 0 and img is not None else 0.0
+        )
+        dec_cache[i] = (stamp, img, idx, blur)
         if len(dec_cache) > 2 * blur_search_radius + 4:
             dec_cache.pop(min(dec_cache))
         return dec_cache[i]
@@ -150,7 +156,7 @@ def convert_bag(
     i = 0
     with open(out / "color_poses.txt", "w") as f:
         while i < len(color_msgs):
-            stamp, img, idx = dec(i)
+            stamp, img, idx, blur = dec(i)
             if idx is None or img is None:
                 i += 1
                 continue
@@ -162,12 +168,12 @@ def convert_bag(
                 n_skip_psnr += 1
                 i += 1
                 continue
-            if blur_threshold > 0 and _blur_score(img) < blur_threshold:
+            if blur_threshold > 0 and blur < blur_threshold:
                 # look ahead for the sharpest acceptable replacement
-                best = (_blur_score(img), i, img, idx)
+                best = (blur, i, img, idx)
                 for j in range(i + 1, min(i + 1 + blur_search_radius,
                                           len(color_msgs))):
-                    sj, imj, pj = dec(j)
+                    sj, imj, pj, bj = dec(j)
                     if imj is None or pj is None:
                         continue
                     if (
@@ -176,7 +182,6 @@ def convert_bag(
                         and _psnr_u8(imj, prev_img) > psnr_threshold
                     ):
                         continue
-                    bj = _blur_score(imj)
                     if bj > best[0]:
                         best = (bj, j, imj, pj)
                 if best[1] != i:

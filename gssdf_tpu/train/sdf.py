@@ -102,7 +102,7 @@ def sdf_losses(
     geom: MapGeometry,
     spec: SDFTrainSpec,
     sample_std,
-    reg_key=None,
+    reg_key,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """BCE + eikonal (+curvature, +numeric/analytic alignment) on a masked
     SampleBatch. Shared by the pure-SDF phase and the joint GS phase.
