@@ -149,6 +149,9 @@ class Config:
     render_normal_weight: float = 0.01
     isotropic_weight: float = 0.05
     gs_sdf_weight: float = 1e-3
+    # static visible-first budget for the GS->SDF regularizer sample set
+    # (0 = evaluate every splat sample; see GSTrainSpec.gs_sdf_budget)
+    gs_sdf_budget: int = 65536
     detach_sdf_grad: bool = False
     refine_gs_struct_start_iter: int = 3000
     visible_thr: float = 1e-1

@@ -24,6 +24,7 @@ from ..fields.occupancy import OccupancyGrid, valid_mask
 from ..fields.sampling import RayBatch, compact_samples, sample_points
 from ..fields.sdf_field import MapGeometry, sdf_apply
 from ..gs.model import SplatModel
+from ..ops.pallas.segsum import table_gather
 from ..gs.render import render_splats
 from ..sensors.cameras import Camera
 from .. import losses
@@ -172,22 +173,33 @@ def make_multicam_gs_train_step(
                 if spec.gs_sdf_reg:
                     vis = jax.lax.stop_gradient(render["visibilities"])
                     w = jax.lax.stop_gradient(render["samples_w"][:, 0]) * vis
+                    x_gs = render["samples"]
                     m = (
                         (vis > spec.visible_thr)
-                        & valid_mask(grid, render["samples"])
+                        & valid_mask(grid, x_gs)
                         & state.alive
                     )
+                    if 0 < spec.gs_sdf_budget < x_gs.shape[0]:
+                        # visible-first static compaction, same as the
+                        # single-device step (train/gs.py)
+                        order = jnp.argsort(
+                            jnp.where(m, 0, 1).astype(jnp.int32)
+                        )
+                        ids = jax.lax.stop_gradient(
+                            order[: spec.gs_sdf_budget]
+                        )
+                        x_gs = table_gather(x_gs, ids)
+                        w = w[ids]
+                        m = m[ids]
                     gs_sdf, _ = sdf_apply(
-                        sdf_p, render["samples"], geom, spec.sdf.field
+                        sdf_p, x_gs, geom, spec.sdf.field
                     )
                     w = jnp.where(m, w, 0.0)
                     if spec.gs_sdf_weight > 0:
                         l = losses.gs_sdf_loss(gs_sdf[:, 0], w)
                         gs_loss = gs_loss + spec.gs_sdf_weight * l
                         gs_sdf_terms["gs_sdf"] = l
-                    gs_sdf_terms["gs_samples"] = jax.lax.stop_gradient(
-                        render["samples"]
-                    )
+                    gs_sdf_terms["gs_samples"] = jax.lax.stop_gradient(x_gs)
                     gs_sdf_terms["gs_mask"] = m
                 meta = (render["radii"], render["visibilities"],
                         render["visible"] & render["binned"])

@@ -37,6 +37,7 @@ from ..gs.model import (
     update_densify_state,
 )
 from ..gs.render import RenderSettings, render_splats
+from ..ops.pallas.segsum import table_gather
 from ..sensors.cameras import Camera, depth_to_normal
 from .optim import AdamState, adam_init, adam_update
 from .sdf import (
@@ -59,6 +60,12 @@ class GSTrainSpec:
     render_normal_weight: float = 0.01
     isotropic_weight: float = 0.05
     gs_sdf_weight: float = 1e-3
+    # fixed-capacity compaction of the GS->SDF regularizer sample set: the
+    # reference index_selects the visible+valid splats before the SDF eval
+    # (neural_mapping.cpp:433-438, dynamic shapes); the TPU analog keeps a
+    # static budget of visible-first rows. 0 = evaluate all C splat samples
+    # (exact, but the hash gather scales with capacity, not visibility).
+    gs_sdf_budget: int = 0
     visible_thr: float = 1e-1
     center_reg: bool = False
     detach_sdf_grad: bool = False
@@ -287,11 +294,34 @@ def make_gs_train_step(
             if spec.gs_sdf_reg:
                 vis = jax.lax.stop_gradient(render["visibilities"])
                 w = jax.lax.stop_gradient(render["samples_w"][:, 0]) * vis
+                x_gs = render["samples"]
                 m = (
                     (vis > spec.visible_thr)
-                    & valid_mask(grid, render["samples"])
+                    & valid_mask(grid, x_gs)
                     & state.alive
                 )
+                n_vis = jnp.sum(m)
+                if 0 < spec.gs_sdf_budget < c:
+                    # visible-first static compaction (the reference's
+                    # index_select of visible+valid splats before the SDF
+                    # eval, neural_mapping.cpp:433-438): the hash-grid
+                    # gather then scales with the budget, not the splat
+                    # CAPACITY. Overflow beyond the budget is dropped and
+                    # reported (gs_sdf_overflow), like the tile_cap
+                    # telemetry.
+                    order = jnp.argsort(jnp.where(m, 0, 1).astype(jnp.int32))
+                    ids = jax.lax.stop_gradient(
+                        order[: spec.gs_sdf_budget]
+                    )
+                    # table_gather: the cotangent back to [C, 3] splat
+                    # samples routes through the sorted Pallas segment-sum
+                    x_gs = table_gather(x_gs, ids)
+                    w = w[ids]
+                    m = m[ids]
+                    aux["gs_sdf_overflow"] = (
+                        jnp.maximum(n_vis - spec.gs_sdf_budget, 0)
+                        / jnp.maximum(n_vis, 1)
+                    ).astype(jnp.float32)
                 gs_eik = (
                     joint_sdf
                     and spec.sdf.eikonal_weight > 0
@@ -302,24 +332,24 @@ def make_gs_train_step(
                     # to splats) AND the eikonal gradient (positions
                     # detached, reference's xyz.detach() semantics,
                     # neural_mapping.cpp:450-452) come from ONE hash-table
-                    # gather over the full splat-sample set.
+                    # gather over the splat-sample set.
                     gs_sdf, _, gs_grad, _ = sdf_apply_with_grad(
                         sdf_p,
-                        render["samples"],
+                        x_gs,
                         geom,
                         spec.sdf.field,
                         detach_grad_positions=True,
                     )
                 else:
                     gs_sdf, _ = sdf_apply(
-                        sdf_p, render["samples"], geom, spec.sdf.field
+                        sdf_p, x_gs, geom, spec.sdf.field
                     )
                 w = jnp.where(m, w, 0.0)
                 if spec.gs_sdf_weight > 0:
                     l_gs_sdf = losses.gs_sdf_loss(gs_sdf[:, 0], w)
                     gs_loss = gs_loss + spec.gs_sdf_weight * l_gs_sdf
                     aux["gs_sdf"] = l_gs_sdf
-                    aux["vis_n"] = jnp.sum(m)
+                    aux["vis_n"] = n_vis
                 if gs_eik:
                     l_eik = losses.eikonal_loss(gs_grad, m)
                     sdf_nn_loss = (
@@ -327,7 +357,7 @@ def make_gs_train_step(
                         + spec.sdf.eikonal_weight * l_eik
                         + align_regularization(
                             sdf_p,
-                            jax.lax.stop_gradient(render["samples"]),
+                            jax.lax.stop_gradient(x_gs),
                             m,
                             gs_grad,
                             geom,
@@ -342,7 +372,7 @@ def make_gs_train_step(
                 elif joint_sdf and spec.sdf.eikonal_weight > 0:
                     # numerical-grad fallback: FD regularizer on a subset
                     # (full splat capacity x FD offsets OOMs)
-                    xs = jax.lax.stop_gradient(render["samples"])
+                    xs = jax.lax.stop_gradient(x_gs)
                     ms = m
                     kk = spec.sdf.eikonal_sample_num
                     if 0 < kk < xs.shape[0]:

@@ -410,6 +410,7 @@ class Pipeline:
             render_normal_weight=cfg.render_normal_weight,
             isotropic_weight=cfg.isotropic_weight,
             gs_sdf_weight=cfg.gs_sdf_weight,
+            gs_sdf_budget=cfg.gs_sdf_budget,
             visible_thr=cfg.visible_thr,
             center_reg=cfg.center_reg,
             detach_sdf_grad=cfg.detach_sdf_grad,
@@ -533,6 +534,8 @@ class Pipeline:
                     LLOG.record("drop_frac", float(aux["drop_frac"]))
                 if "clamp_frac" in aux:
                     LLOG.record("clamp_frac", float(aux["clamp_frac"]))
+                if "gs_sdf_overflow" in aux:
+                    LLOG.record("gs_sdf_ovf", float(aux["gs_sdf_overflow"]))
                 LLOG.record("gs_num", int(jnp.sum(self.gs_state.alive)))
                 if _fires(i, b, log_every * 50):
                     from ..utils.llog import memory_stats
@@ -555,14 +558,18 @@ class Pipeline:
         # keep the standalone SDF optimizer view in sync with the joint
         # phase's live moments (the shared-Adam analog of the reference's
         # single optimizer): without this, export_checkpoint would pair
-        # final joint-phase sdf params with stale SDF-phase moments.
-        from .optim import AdamState
+        # final joint-phase sdf params with stale SDF-phase moments. Only
+        # when the joint phase actually TRAINS the SDF — with the SDF side
+        # detached its moments just decay to zero and would erase the real
+        # SDF-phase state.
+        if spec.gs_sdf_reg and not spec.detach_sdf_grad:
+            from .optim import AdamState
 
-        self.sdf_opt = AdamState(
-            step=self.gs_state.opt.step,
-            mu=self.gs_state.opt.mu["sdf"],
-            nu=self.gs_state.opt.nu["sdf"],
-        )
+            self.sdf_opt = AdamState(
+                step=self.gs_state.opt.step,
+                mu=self.gs_state.opt.mu["sdf"],
+                nu=self.gs_state.opt.nu["sdf"],
+            )
 
     def _handle_key(self, cmd: str):
         """Dispatch one keyboard command at an iteration boundary

@@ -180,7 +180,15 @@ def main():
     ap.add_argument("--smoke", action="store_true",
                     help="tiny point/splat budgets + low res (CI shakeout "
                     "of the full script incl. the RESULTS writer)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (smoke runs while the TPU "
+                    "tunnel is down; env JAX_PLATFORMS is ignored by the "
+                    "site config — see CLAUDE.md)")
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     if args.sdf_iters is None:
         args.sdf_iters = 60 if args.smoke else 5000
     if args.gs_iters is None:
@@ -266,7 +274,16 @@ preload: 1
         f"Budget: {args.sdf_iters} SDF + {args.gs_iters} GS iters,"
         " batch_pt_num 32768, leaf 0.05, full reference schedule"
         " (config/replica/replica.yaml:6-7, config/base.yaml:8-23).",
-        "Hardware: one v5e chip (axon).",
+        "Hardware: "
+        + {
+            "tpu": "one v5e chip (axon)",
+            "axon": "one v5e chip (axon)",
+        }.get(
+            __import__("jax").default_backend(),
+            f"{__import__('jax').default_backend()} backend "
+            "(NOT a chip measurement)",
+        )
+        + ".",
         "",
         "| stage | wall clock |",
         "|---|---|",

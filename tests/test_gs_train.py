@@ -340,3 +340,52 @@ def test_uint8_gt_matches_float(scene):
         np.asarray(s1.params["gs"].offsets),
         np.asarray(s2.params["gs"].offsets), atol=1e-7,
     )
+
+
+def test_gs_sdf_budget_compaction_matches_full(scene):
+    """With budget >= visible count the compacted GS->SDF regularizer must
+    reproduce the full-capacity evaluation (loss values AND parameter
+    updates); a tiny budget must report overflow and stay finite."""
+    gt, poses, gts = scene
+    geom = MapGeometry(origin=(0.0, 0.0, 2.0), map_size=4.0)
+    grid = build_occupancy_grid(np.asarray(gt.anchors), geom, 32)
+
+    r = 32
+    rays_o = jnp.zeros((r, 3))
+    rays_d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (r, 1))
+    rays_t = jnp.full((r, 1), 2.0)
+    key = jax.random.PRNGKey(11)
+
+    def run(budget):
+        spec = _spec(gs_sdf_reg=True, gs_sdf_weight=1e-3,
+                     gs_sdf_budget=budget)
+        trainer = GSTrainer(spec, geom, grid, CAM)
+        state = _ctree(_init_state(scene, spec))
+        state, aux = trainer.step_fn(
+            state, gts[0], poses[0], rays_o, rays_d, rays_t,
+            key, 0.05, 1e-3, 1.6e-3, 0, False,
+        )
+        return state, aux
+
+    s_full, a_full = run(0)          # capacity 64: evaluate everything
+    s_comp, a_comp = run(48)         # compacted, but >= n visible
+
+    assert float(a_comp["gs_sdf_overflow"]) == 0.0
+    np.testing.assert_allclose(
+        float(a_comp["gs_sdf"]), float(a_full["gs_sdf"]), rtol=1e-5
+    )
+    assert int(a_comp["vis_n"]) == int(a_full["vis_n"])
+    if "gs_eik" in a_full:
+        np.testing.assert_allclose(
+            float(a_comp["gs_eik"]), float(a_full["gs_eik"]), rtol=1e-5
+        )
+    np.testing.assert_allclose(
+        np.asarray(s_comp.params["gs"].offsets),
+        np.asarray(s_full.params["gs"].offsets),
+        rtol=1e-4, atol=1e-7,
+    )
+
+    _, a_tiny = run(8)               # overflow: fewer slots than visible
+    assert float(a_tiny["gs_sdf_overflow"]) > 0.0
+    for k, v in a_tiny.items():
+        assert np.isfinite(np.asarray(v)).all(), (k, v)
