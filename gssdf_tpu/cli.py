@@ -162,9 +162,15 @@ def cmd_render(args):
 
     for i, pose in enumerate(poses):
         if specs is not None:
-            # per-frame specs pair with the ORIGINAL keyframes; divide out
-            # the interpolation factor so intrinsics follow their keyframe
-            k = i // max(args.interpolate, 1)
+            # per-frame specs pair with the ORIGINAL keyframes; map frame i
+            # back through the slerp parameterization (interpolate_poses
+            # samples t = linspace(0, n_key-1, n_key*interp)) and pick the
+            # NEAREST keyframe's intrinsics
+            if len(specs) > 1 and len(poses) > 1:
+                t = i * (len(specs) - 1) / (len(poses) - 1)
+                k = int(round(t))
+            else:
+                k = 0
             s = specs[min(k, len(specs) - 1)]
             cam = Camera(s.fx, s.fy, s.cx, s.cy, s.width, s.height)
         elif cam is None:

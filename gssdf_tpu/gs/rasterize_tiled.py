@@ -217,7 +217,6 @@ def tile_encode(
             jnp.sum(((sx < tx1 - tx0 + 1) | (sy < ty1 - ty0 + 1)) & valid)
             / n_valid
         ).astype(jnp.float32)
-    e_total = flat_key.shape[0]
     sorted_key, sorted_pay = jax.lax.sort(
         (flat_key, flat_pay), num_keys=1, is_stable=False
     )

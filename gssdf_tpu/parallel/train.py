@@ -182,6 +182,7 @@ def make_multicam_gs_train_step(
                     if 0 < spec.gs_sdf_budget < x_gs.shape[0]:
                         # visible-first static compaction, same as the
                         # single-device step (train/gs.py)
+                        n_vis = jnp.sum(m)
                         order = jnp.argsort(
                             jnp.where(m, 0, 1).astype(jnp.int32)
                         )
@@ -191,6 +192,10 @@ def make_multicam_gs_train_step(
                         x_gs = table_gather(x_gs, ids)
                         w = w[ids]
                         m = m[ids]
+                        gs_sdf_terms["gs_sdf_overflow"] = (
+                            jnp.maximum(n_vis - spec.gs_sdf_budget, 0)
+                            / jnp.maximum(n_vis, 1)
+                        ).astype(jnp.float32)
                     gs_sdf, _ = sdf_apply(
                         sdf_p, x_gs, geom, spec.sdf.field
                     )
@@ -212,6 +217,10 @@ def make_multicam_gs_train_step(
             aux.update({k: jnp.mean(v) for k, v in img_aux_b.items()})
             if spec.gs_sdf_reg and "gs_sdf" in gs_sdf_b:
                 aux["gs_sdf"] = jnp.mean(gs_sdf_b["gs_sdf"])
+            if spec.gs_sdf_reg and "gs_sdf_overflow" in gs_sdf_b:
+                # worst camera: a saturated budget must be visible in the
+                # train log, not silent (same rule as tile_cap drop_frac)
+                aux["gs_sdf_overflow"] = jnp.max(gs_sdf_b["gs_sdf_overflow"])
 
             # eikonal on gs samples from all cameras trains the SDF side
             # (subsampled; full capacity x FD offsets OOMs)

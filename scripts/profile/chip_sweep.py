@@ -179,7 +179,8 @@ def t_it(fn, x, iters=10, name=""):
     jax.block_until_ready(y)
     t0 = time.perf_counter()
     for _ in range(iters):
-        x = y * 1e-30 + x          # chain
+        # chain through a data-dependent scalar (outputs differ in shape)
+        x = x + y.ravel()[0] * 1e-30
         y = fn(x)
     jax.block_until_ready(y)
     print(f"{name:48s} {(time.perf_counter()-t0)/iters*1e3:8.2f} ms")
