@@ -209,6 +209,46 @@ def build_splat_model(
     return SplatModel(params=params, anchors=padded(anchors), alive=alive)
 
 
+def bucket_capacity(n: int, mult: float = 1.5, quantum: int = 1 << 16) -> int:
+    """Static splat capacity: n * mult rounded up to the bucket quantum.
+
+    Headroom is deliberately modest: every per-splat op (projection, SH,
+    tile-entry emit, Adam) scales with CAPACITY, not live count, so slack
+    is a flat tax on the whole GS step. Growth past the headroom triggers
+    a capacity re-bucket (the one recompile event — see
+    train/gs.py::rebucket_gs_state)."""
+    want = int(n * mult)
+    return max(((want + quantum - 1) // quantum) * quantum, quantum)
+
+
+def pad_splat_rows(params: SplatParams, pad: int) -> SplatParams:
+    """Append ``pad`` DEAD rows with the same inert values as
+    build_splat_model's capacity padding (scaling/opacity -10 -> exp/sigmoid
+    ~0, identity quaternion so normalization never sees a zero vector)."""
+    z = lambda x: jnp.concatenate(
+        [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)]
+    )
+    return SplatParams(
+        offsets=z(params.offsets),
+        scaling=jnp.concatenate(
+            [params.scaling,
+             jnp.full((pad,) + params.scaling.shape[1:], -10.0,
+                      params.scaling.dtype)]
+        ),
+        quaternion=jnp.concatenate(
+            [params.quaternion,
+             jnp.tile(jnp.array([[1.0, 0, 0, 0]], params.quaternion.dtype),
+                      (pad, 1))]
+        ),
+        opacity=jnp.concatenate(
+            [params.opacity,
+             jnp.full((pad,), -10.0, params.opacity.dtype)]
+        ),
+        features_dc=z(params.features_dc),
+        features_rest=z(params.features_rest),
+    )
+
+
 def init_scales_from_knn(points: jnp.ndarray) -> jnp.ndarray:
     """log(sqrt(mean 3-NN sq dist)) per point, isotropic
     (neural_gaussian.cpp:313-317)."""

@@ -30,7 +30,9 @@ from ..gs.model import (
     RefineSpec,
     SplatModel,
     SplatParams,
+    bucket_capacity,
     densify_state_init,
+    pad_splat_rows,
     prune_invisible,
     refine_splats,
     reset_opacity,
@@ -71,6 +73,10 @@ class GSTrainSpec:
     detach_sdf_grad: bool = False
     gs_sdf_reg: bool = True
     depth_type: int = 0          # 0 expected (ED) depth, 1 median (k_depth_type)
+    # alive/capacity fraction that triggers a capacity re-bucket after a
+    # refine event (0 disables; the store then saturates silently at its
+    # initial capacity, matching round-1 behavior)
+    rebucket_sat: float = 0.9
     sh_degree: int = 0
     sh_degree_interval: int = 1000
     refine_gs_struct_start_iter: int = 3000
@@ -103,6 +109,44 @@ def gs_state_init(sdf_params, model: SplatModel) -> GSState:
         alive=model.alive,
         opt=adam_init(params),
         dstate=densify_state_init(model.alive.shape[0]),
+    )
+
+
+def rebucket_gs_state(state: GSState, new_capacity: int) -> GSState:
+    """Grow the splat store to a larger static capacity — the ONE
+    shape-changing (recompile) event of the GS phase (ARCHITECTURE.md
+    design decision 2; the reference's cat_tensors_to_optimizer grows
+    tensors every refine, optimizer_utils.cpp:5-165 — here growth is
+    masked in place and only the BUCKET changes shape).
+
+    Live rows keep params, Adam moments, and densify statistics verbatim;
+    new rows get build_splat_model's inert dead-row values with zero
+    moments (identical to freshly-pruned slots under the masked Adam
+    surgery)."""
+    c = state.alive.shape[0]
+    pad = new_capacity - c
+    if pad <= 0:
+        return state
+    zrow = lambda x: jnp.concatenate(
+        [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)]
+    )
+    params = {
+        "sdf": state.params["sdf"],
+        "gs": pad_splat_rows(state.params["gs"], pad),
+    }
+    opt = AdamState(
+        step=state.opt.step,
+        mu={"sdf": state.opt.mu["sdf"],
+            "gs": jax.tree_util.tree_map(zrow, state.opt.mu["gs"])},
+        nu={"sdf": state.opt.nu["sdf"],
+            "gs": jax.tree_util.tree_map(zrow, state.opt.nu["gs"])},
+    )
+    return GSState(
+        params=params,
+        anchors=zrow(state.anchors),
+        alive=jnp.concatenate([state.alive, jnp.zeros((pad,), bool)]),
+        opt=opt,
+        dstate=jax.tree_util.tree_map(zrow, state.dstate),
     )
 
 
@@ -592,6 +636,27 @@ class GSTrainer:
         ):
             state, rinfo = self.refine_fn(state, key, jnp.int32(iter_num))
             info.update({k: int(v) for k, v in rinfo.items()})
+            if spec.rebucket_sat > 0:
+                n_alive = int(jnp.sum(state.alive))
+                cap = int(state.alive.shape[0])
+                if n_alive > spec.rebucket_sat * cap:
+                    new_cap = bucket_capacity(n_alive)
+                    if new_cap > cap:
+                        state = rebucket_gs_state(state, new_cap)
+                        if self.mesh is not None:
+                            # re-replicate: the host-level concat can land
+                            # on one device; the sharded step expects the
+                            # replicated layout
+                            from jax.sharding import (
+                                NamedSharding,
+                                PartitionSpec,
+                            )
+
+                            state = jax.device_put(
+                                state,
+                                NamedSharding(self.mesh, PartitionSpec()),
+                            )
+                        info["rebucket"] = new_cap
 
         if _crossed(iter_num, stride, spec.reset_every):
             state = self.reset_fn(state)

@@ -41,6 +41,7 @@ from ..fields.sdf_field import (
     init_sdf_field,
 )
 from ..gs.model import (
+    bucket_capacity,
     build_splat_model,
     init_quats_opacity_with_sdf,
     init_scales_from_knn,
@@ -352,7 +353,7 @@ class Pipeline:
             k: jnp.concatenate([p[k] for p in parts]) for k in parts[0]
         }
         total = cat["anchors"].shape[0]
-        capacity = self.cfg.gs_capacity or _bucket_capacity(total)
+        capacity = self.cfg.gs_capacity or bucket_capacity(total)
         if total > (capacity * 3) // 4:
             # explicit capacity is a hard cap: subsample the init set to 3/4
             # so densification has headroom (no reference analog — the CUDA
@@ -427,6 +428,9 @@ class Pipeline:
                 self.loader.num_train if cfg.pause_refine else 0
             ),
             num_train_data=self.loader.num_train,
+            # an explicit gs_capacity is a hard cap (tests/smoke budgets);
+            # auto-bucketed stores grow by re-bucketing at 90% saturation
+            rebucket_sat=0.0 if cfg.gs_capacity else 0.9,
             gs_iter_step=cfg.gs_iter_step,
             lr=cfg.lr,
             lr_end=cfg.lr_end,
@@ -1144,12 +1148,6 @@ class _FrameFetcher:
             if isinstance(item, Exception):
                 raise item
             yield item
-
-
-def _bucket_capacity(n: int, mult: float = 4.0, quantum: int = 1 << 16) -> int:
-    """Static splat capacity: n * mult rounded up to the bucket quantum."""
-    want = int(n * mult)
-    return max(((want + quantum - 1) // quantum) * quantum, quantum)
 
 
 def _save_image(path, img: np.ndarray):

@@ -389,3 +389,81 @@ def test_gs_sdf_budget_compaction_matches_full(scene):
     assert float(a_tiny["gs_sdf_overflow"]) > 0.0
     for k, v in a_tiny.items():
         assert np.isfinite(np.asarray(v)).all(), (k, v)
+
+
+def test_rebucket_preserves_state_and_renders(scene):
+    """Capacity re-bucketing (the one recompile event) must keep live rows'
+    params/moments/densify stats verbatim and render identical images; new
+    rows must be inert dead slots."""
+    from gssdf_tpu.train.gs import rebucket_gs_state
+
+    gt, poses, gts = scene
+    spec = _spec(gs_sdf_reg=False)
+    state = _init_state(scene, spec, capacity=64)
+    # dirty the moments so preservation is actually exercised
+    state = state._replace(
+        opt=state.opt._replace(
+            mu=jax.tree_util.tree_map(lambda x: x + 0.5, state.opt.mu)
+        )
+    )
+    big = rebucket_gs_state(state, 128)
+
+    assert big.alive.shape[0] == 128
+    assert int(jnp.sum(big.alive)) == int(jnp.sum(state.alive))
+    np.testing.assert_array_equal(
+        np.asarray(big.params["gs"].scaling[:64]),
+        np.asarray(state.params["gs"].scaling),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(big.opt.mu["gs"].opacity[:64]),
+        np.asarray(state.opt.mu["gs"].opacity),
+    )
+    # dead-row padding mirrors build_splat_model semantics
+    assert float(big.params["gs"].scaling[64:].max()) == -10.0
+    np.testing.assert_array_equal(
+        np.asarray(big.params["gs"].quaternion[64]), [1.0, 0, 0, 0]
+    )
+
+    settings = RenderSettings(width=W, height=H, tile_cap=64, tile_expand=16)
+    a = render_splats(splat_model(state), poses[0], jnp.asarray(CAM.K),
+                      settings, training=False)
+    b = render_splats(splat_model(big), poses[0], jnp.asarray(CAM.K),
+                      settings, training=False)
+    np.testing.assert_allclose(
+        np.asarray(a["color"]), np.asarray(b["color"]), atol=1e-6
+    )
+
+
+def test_trainer_rebuckets_on_saturation(scene):
+    """A refine event that fills the store past rebucket_sat must grow the
+    capacity bucket, and the step must keep training at the new shape."""
+    gt, poses, gts = scene
+    spec = _spec(
+        gs_sdf_reg=False, render_normal_weight=0.0,
+        refine_start_iter=1, refine_every=2, reset_every=10**6,
+        rebucket_sat=0.5,
+        refine=RefineSpec(grow_grad2d=1e-12, grow_scale3d=1e-12),
+    )
+    geom = MapGeometry(origin=(0.0, 0.0, 2.0), map_size=4.0)
+    grid = build_occupancy_grid(np.asarray(gt.anchors), geom, 32)
+    trainer = GSTrainer(spec, geom, grid, CAM)
+    state = _init_state(scene, spec, capacity=64)
+
+    r = spec.sdf.batch_rays
+    rays_o = jnp.zeros((r, 3))
+    rays_d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (r, 1))
+    rays_t = jnp.full((r, 1), 2.0)
+
+    grew = 0
+    for i in range(1, 9):
+        state, aux = trainer.step_fn(
+            state, gts[i % 2], poses[i % 2], rays_o, rays_d, rays_t,
+            jax.random.PRNGKey(i), 0.05, 0.0, 1.6e-3, 0, True,
+        )
+        if grew:
+            break                    # one post-rebucket step is the point
+        state, rinfo = trainer.callback(state, i, jax.random.PRNGKey(100 + i))
+        grew = rinfo.get("rebucket", 0)
+    assert grew >= 65536, grew
+    assert state.alive.shape[0] == grew
+    assert np.isfinite(float(aux["loss"]))
