@@ -272,7 +272,10 @@ preload: 1
         "Scene: procedurally ray-traced room (wall/floor/2 spheres/box),"
         f" {args.frames} frames at {W}x{H}; analytic GT surfaces for chamfer.",
         f"Budget: {args.sdf_iters} SDF + {args.gs_iters} GS iters,"
-        " batch_pt_num 32768, leaf 0.05, full reference schedule"
+        f" batch_pt_num {cfg.batch_pt_num}, leaf {cfg.leaf_size},"
+        f" res_scale {cfg.res_scale}"
+        + (" (SMOKE scale)" if args.smoke else "")
+        + ", reference schedule"
         " (config/replica/replica.yaml:6-7, config/base.yaml:8-23).",
         "Hardware: "
         + {
