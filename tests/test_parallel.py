@@ -273,3 +273,51 @@ def test_sharded_multistep_train_with_refine():
     assert alive1 != alive0 or "opacity_reset" in fired
     for leaf in jax.tree_util.tree_leaves(state.params):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_sharded_rebucket_grows_and_keeps_training():
+    """Capacity re-bucketing under the mesh: the re-replicated state must
+    keep training through the sharded step at the grown shape."""
+    import dataclasses
+
+    from gssdf_tpu.train.gs import GSTrainer
+
+    spec, geom, grid, cam, state, W, H = _gs_setup(gs_sdf_reg=False)
+    spec = dataclasses.replace(
+        spec,
+        rebucket_sat=0.4,
+        refine_start_iter=1,
+        refine_every=2,
+        reset_every=10**6,
+        refine=RefineSpec(grow_grad2d=1e-12, grow_scale3d=1e-12),
+    )
+    mesh = make_mesh()
+    trainer = GSTrainer(spec, geom, grid, cam, mesh=mesh)
+    state = replicate(mesh, state)
+    b = trainer.batch
+    r = spec.sdf.batch_rays
+    rng = np.random.RandomState(2)
+
+    key = jax.random.PRNGKey(5)
+    grew = 0
+    for i in range(1, 33, b):
+        key, k1, k2 = jax.random.split(key, 3)
+        gt = jnp.asarray(rng.uniform(0, 1, (b, H, W, 3)), jnp.float32)
+        poses = jnp.tile(jnp.eye(4, dtype=jnp.float32)[None], (b, 1, 1))
+        o = jnp.zeros((r, 3))
+        d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (r, 1))
+        t = jnp.full((r, 1), 2.0)
+        gt_s, poses_s = shard_batch(mesh, (gt, poses))
+        o_s, d_s, t_s = shard_batch(mesh, (o, d, t))
+        state, aux = trainer.step_fn(
+            state, gt_s, poses_s, o_s, d_s, t_s, k1,
+            0.05, 0.0, 1.6e-4, 0, True, False, None,
+        )
+        assert np.isfinite(float(aux["loss"])), i
+        if grew:
+            break                    # one post-rebucket sharded step passed
+        state, info = trainer.callback(state, i, k2, stride=b)
+        grew = info.get("rebucket", 0)
+
+    assert grew >= 65536, grew
+    assert state.alive.shape[0] == grew
