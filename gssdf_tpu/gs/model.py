@@ -195,15 +195,16 @@ def build_splat_model(
         shape = (pad,) + x.shape[1:]
         return jnp.concatenate([x, jnp.full(shape, fill, x.dtype)])
 
-    params = SplatParams(
-        offsets=jnp.zeros((capacity, 3), jnp.float32),
-        scaling=padded(scales_log, -10.0),
-        quaternion=jnp.concatenate(
-            [quats, jnp.tile(jnp.array([[1.0, 0, 0, 0]], jnp.float32), (pad, 1))]
+    params = pad_splat_rows(
+        SplatParams(
+            offsets=jnp.zeros((n, 3), jnp.float32),
+            scaling=scales_log,
+            quaternion=quats,
+            opacity=opacity_logit,
+            features_dc=f_dc,
+            features_rest=f_rest,
         ),
-        opacity=padded(opacity_logit, -10.0),
-        features_dc=padded(f_dc),
-        features_rest=padded(f_rest),
+        pad,
     )
     alive = jnp.concatenate([finite, jnp.zeros((pad,), bool)])
     return SplatModel(params=params, anchors=padded(anchors), alive=alive)

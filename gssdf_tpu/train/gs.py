@@ -74,9 +74,10 @@ class GSTrainSpec:
     gs_sdf_reg: bool = True
     depth_type: int = 0          # 0 expected (ED) depth, 1 median (k_depth_type)
     # alive/capacity fraction that triggers a capacity re-bucket after a
-    # refine event (0 disables; the store then saturates silently at its
-    # initial capacity, matching round-1 behavior)
-    rebucket_sat: float = 0.9
+    # refine event. 0 (default) disables: the store saturates silently at
+    # its initial capacity — direct spec consumers (tests) keep fully
+    # static shapes; Pipeline opts in explicitly for auto-bucketed stores.
+    rebucket_sat: float = 0.0
     sh_degree: int = 0
     sh_degree_interval: int = 1000
     refine_gs_struct_start_iter: int = 3000
@@ -640,7 +641,11 @@ class GSTrainer:
                 n_alive = int(jnp.sum(state.alive))
                 cap = int(state.alive.shape[0])
                 if n_alive > spec.rebucket_sat * cap:
-                    new_cap = bucket_capacity(n_alive)
+                    # quantum scaled to the store: a 64-row test store must
+                    # not snap to the 65536 production quantum
+                    new_cap = bucket_capacity(
+                        n_alive, quantum=min(1 << 16, cap)
+                    )
                     if new_cap > cap:
                         state = rebucket_gs_state(state, new_cap)
                         if self.mesh is not None:

@@ -447,7 +447,9 @@ def test_trainer_rebuckets_on_saturation(scene):
     geom = MapGeometry(origin=(0.0, 0.0, 2.0), map_size=4.0)
     grid = build_occupancy_grid(np.asarray(gt.anchors), geom, 32)
     trainer = GSTrainer(spec, geom, grid, CAM)
-    state = _init_state(scene, spec, capacity=64)
+    # 40 alive / 128 capacity starts BELOW the 0.5 threshold: the rebucket
+    # must be caused by the refine-driven growth, not the initial fill
+    state = _init_state(scene, spec, capacity=128)
 
     r = spec.sdf.batch_rays
     rays_o = jnp.zeros((r, 3))
@@ -464,6 +466,6 @@ def test_trainer_rebuckets_on_saturation(scene):
             break                    # one post-rebucket step is the point
         state, rinfo = trainer.callback(state, i, jax.random.PRNGKey(100 + i))
         grew = rinfo.get("rebucket", 0)
-    assert grew >= 65536, grew
+    assert grew > 128, grew                  # quantum scales to the store
     assert state.alive.shape[0] == grew
     assert np.isfinite(float(aux["loss"]))

@@ -285,7 +285,8 @@ def test_sharded_rebucket_grows_and_keeps_training():
     spec, geom, grid, cam, state, W, H = _gs_setup(gs_sdf_reg=False)
     spec = dataclasses.replace(
         spec,
-        rebucket_sat=0.4,
+        # 32 alive / 64 capacity starts BELOW 0.6: growth causes the event
+        rebucket_sat=0.6,
         refine_start_iter=1,
         refine_every=2,
         reset_every=10**6,
@@ -319,5 +320,5 @@ def test_sharded_rebucket_grows_and_keeps_training():
         state, info = trainer.callback(state, i, k2, stride=b)
         grew = info.get("rebucket", 0)
 
-    assert grew >= 65536, grew
+    assert grew > 64, grew                   # quantum scales to the store
     assert state.alive.shape[0] == grew
