@@ -333,10 +333,17 @@ def rasterize_tiled(
         import os
 
         if os.environ.get("GSSDF_RASTER_V2"):
-            from ..ops.pallas.raster import F_ROWS
-            from ..ops.pallas.raster_v2 import tile_composite
-        else:
-            from ..ops.pallas.raster import F_ROWS, tile_composite
+            # Chip-validated 2026-08-19: raster_v2 FAILS forward parity on
+            # real Mosaic (max |err| 2.84 vs the reference compositor at
+            # kt=1; passes only in interpret mode). Kept for debugging but
+            # never silently used for training — fail loudly instead.
+            raise RuntimeError(
+                "GSSDF_RASTER_V2 fails numerical parity on real TPU Mosaic "
+                "(see ARCHITECTURE.md 'Composite kernel v2'); unset it. "
+                "Import gssdf_tpu.ops.pallas.raster_v2 directly for kernel "
+                "debugging."
+            )
+        from ..ops.pallas.raster import F_ROWS, tile_composite
 
         table24 = jnp.concatenate(
             [table, jnp.zeros((n + 1, F_ROWS - table.shape[-1]), table.dtype)],

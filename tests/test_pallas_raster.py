@@ -17,16 +17,15 @@ EYE4 = jnp.eye(4, dtype=jnp.float32)
 
 @pytest.fixture(autouse=True, params=["v1", "v2"])
 def KMOD(request, monkeypatch):
-    """Run every test against BOTH kernel schedulings (raster / raster_v2);
-    the env var drives the production dispatch in rasterize_tiled."""
+    """Run the direct kernel tests against BOTH schedulings (raster /
+    raster_v2). raster_v2 is NOT routed through the production dispatch:
+    it fails forward parity on real Mosaic (chip sweep 2026-08-19, max err
+    2.84 — interpret mode passes, so these CPU tests can't see the bug)
+    and GSSDF_RASTER_V2=1 now raises in rasterize_tiled."""
     R._INTERPRET = True
     R2._INTERPRET = True
-    if request.param == "v2":
-        monkeypatch.setenv("GSSDF_RASTER_V2", "1")
-        mod = R2
-    else:
-        monkeypatch.delenv("GSSDF_RASTER_V2", raising=False)
-        mod = R
+    monkeypatch.delenv("GSSDF_RASTER_V2", raising=False)
+    mod = R2 if request.param == "v2" else R
     yield mod
     R._INTERPRET = False
     R2._INTERPRET = False
@@ -216,3 +215,13 @@ def test_analytic_backward_matches_autodiff(KMOD):
     tol = 2e-3 * np.abs(a) + 1e-4 * max(np.abs(a).max(), 1.0)
     bad = np.abs(p - a) > tol
     assert not bad.any(), f"{bad.sum()} pallas-vs-twin elements beyond tol"
+
+
+def test_raster_v2_env_opt_in_raises(monkeypatch):
+    """raster_v2 was rejected on real hardware (fwd parity failure on
+    Mosaic); the env opt-in must fail loudly rather than train on wrong
+    renders (gs/rasterize_tiled.py dispatch)."""
+    monkeypatch.setenv("GSSDF_RASTER_V2", "1")
+    scene = _scene(20, seed=5)
+    with pytest.raises(RuntimeError, match="parity"):
+        _run("pallas", *scene)
