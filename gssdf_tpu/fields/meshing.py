@@ -21,6 +21,9 @@ from .occupancy import OccupancyGrid, valid_mask
 from .sdf_field import MapGeometry, SDFFieldSpec, sdf_apply, sdf_gradient_numerical
 
 _OUTSIDE_SDF = 1e-6  # default for unobserved space (local_map.cpp:381)
+# per-slab on-device triangle compaction capacity (see extract_mesh);
+# module-level so tests can force the overflow fallback
+_TRI_CAP = 1 << 16
 
 
 def extract_mesh(
@@ -91,6 +94,21 @@ def extract_mesh(
         sdf = jnp.where(vm, sdf, _OUTSIDE_SDF)
         return sdf.reshape(xs_j.shape[0], ny, nz)
 
+    # On-device triangle compaction: marching_tets emits a fixed-capacity
+    # [cells*12, 3, 3] buffer; pulling that dense buffer to host per slab is
+    # ~100 MB of D2H through the (slow) tunnel plus a 3M-row host weld, and
+    # was the dominant cost of budget-resolution extraction (~3 s/slab, 95%
+    # of it transfer+weld). Gather the emitted rows to a small fixed cap on
+    # device instead; overflow (count > cap) falls back to the dense pull.
+    tri_cap = _TRI_CAP
+
+    @jax.jit
+    def march_compact(sdf_grid, vm_grid):
+        tri, mask = marching_tets(sdf_grid, iso=0.0, corner_valid=vm_grid)
+        count = jnp.sum(mask)
+        idx = jnp.nonzero(mask, size=tri_cap, fill_value=0)[0]
+        return tri[idx], jnp.arange(tri_cap) < count, count
+
     all_verts, all_faces, n_verts = [], [], 0
     # overlap slabs by one voxel layer so surfaces crossing slab borders close
     x_starts = list(range(0, nx - 1, slab_voxels - 1))
@@ -122,9 +140,12 @@ def extract_mesh(
         # unobserved space emit no triangles (replaces the reference's
         # post-hoc 27-neighbor vertex filter, local_map.cpp:410-417, which
         # is fragile when the surface grazes a voxel face)
-        tri, mask = march(sdf_grid, corner_valid=vm_grid)
+        tri_c, ok_c, count = march_compact(sdf_grid, vm_grid)
+        if int(count) > tri_cap:   # rare: surface denser than the cap
+            tri, mask = march(sdf_grid, corner_valid=vm_grid)
+            tri_c, ok_c = np.asarray(tri), np.asarray(mask)
         verts, faces = compact_mesh(
-            np.asarray(tri), np.asarray(mask),
+            np.asarray(tri_c), np.asarray(ok_c),
             lower=(lo[0] + xs0 * resolution, lo[1], lo[2]),
             res=resolution,
         )

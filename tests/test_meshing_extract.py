@@ -1,0 +1,89 @@
+"""extract_mesh unit tests: analytic-sphere SDF through the slab extractor,
+exercising both the on-device triangle compaction path and the dense
+fallback (forced overflow), plus the occupancy valid-mask suppression.
+
+Reference analog: LocalMap::meshing_ (local_map.cpp:329-447).
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import gssdf_tpu.fields.meshing as meshing
+from gssdf_tpu.fields.meshing import extract_mesh
+from gssdf_tpu.fields.occupancy import build_occupancy_grid
+from gssdf_tpu.fields.sdf_field import MapGeometry, SDFFieldSpec
+
+RADIUS = 0.55
+
+
+def _sphere_sdf(params, pts, geom, spec):
+    d = jnp.linalg.norm(pts, axis=-1, keepdims=True) - RADIUS
+    return d, jnp.ones_like(d)
+
+
+def _sphere_grad(params, pts, geom, spec, delta, with_hessian=False):
+    n = pts / jnp.maximum(
+        jnp.linalg.norm(pts, axis=-1, keepdims=True), 1e-9
+    )
+    return n, None
+
+
+@pytest.fixture()
+def sphere_env(monkeypatch):
+    monkeypatch.setattr(meshing, "sdf_apply", _sphere_sdf)
+    monkeypatch.setattr(meshing, "sdf_gradient_numerical", _sphere_grad)
+    geom = MapGeometry(origin=(0.0, 0.0, 0.0), map_size=2.0)
+    # fully-observed occupancy: points at every voxel center of a 32-grid
+    n = 32
+    ax = (np.arange(n) + 0.5) / n * 2.0 - 1.0
+    gx, gy, gz = np.meshgrid(ax, ax, ax, indexing="ij")
+    pts = np.stack([gx, gy, gz], -1).reshape(-1, 3)
+    grid = build_occupancy_grid(pts, geom, n)
+    return geom, grid
+
+
+def test_sphere_extraction_compact_path(sphere_env):
+    geom, grid = sphere_env
+    verts, faces, colors = extract_mesh(
+        None, geom, SDFFieldSpec(), grid, resolution=0.05, slab_voxels=8
+    )
+    assert len(verts) > 0 and len(faces) > 0
+    r = np.linalg.norm(verts, axis=-1)
+    # all vertices on the analytic sphere to within a voxel
+    assert r.min() > RADIUS - 0.05 and r.max() < RADIUS + 0.05
+    assert colors.shape == verts.shape
+    assert np.isfinite(colors).all()
+
+
+def test_overflow_fallback_matches_compact(sphere_env, monkeypatch):
+    """With the on-device cap forced below the per-slab triangle count,
+    every surface slab takes the dense-pull fallback; the mesh must match
+    the compacted path exactly."""
+    geom, grid = sphere_env
+    kwargs = dict(resolution=0.05, slab_voxels=8, with_colors=False)
+    v1, f1, _ = extract_mesh(None, geom, SDFFieldSpec(), grid, **kwargs)
+    assert len(v1) > 0
+
+    monkeypatch.setattr(meshing, "_TRI_CAP", 64)
+    v2, f2, _ = extract_mesh(None, geom, SDFFieldSpec(), grid, **kwargs)
+    assert len(v2) == len(v1) and len(f2) == len(f1)
+    assert np.allclose(
+        np.sort(v1.ravel()), np.sort(v2.ravel()), atol=1e-6
+    )
+
+
+def test_unobserved_space_emits_nothing(sphere_env):
+    geom, grid = sphere_env
+    empty = dataclasses.replace(
+        grid,
+        packed=jnp.zeros_like(grid.packed),
+        packed_core=jnp.zeros_like(grid.packed_core),
+        packed_coarse=jnp.zeros_like(grid.packed_coarse),
+    )
+    verts, faces, _ = extract_mesh(
+        None, geom, SDFFieldSpec(), empty, resolution=0.1, slab_voxels=8
+    )
+    assert len(verts) == 0 and len(faces) == 0
