@@ -24,6 +24,8 @@ _OUTSIDE_SDF = 1e-6  # default for unobserved space (local_map.cpp:381)
 # per-slab on-device triangle compaction capacity (see extract_mesh);
 # module-level so tests can force the overflow fallback
 _TRI_CAP = 1 << 16
+# x-slabs extracted per fused device call (one host round-trip per batch)
+_SLABS_PER_CALL = 8
 
 
 def extract_mesh(
@@ -67,26 +69,6 @@ def extract_mesh(
         vm = valid_mask(grid, slab_pts(xs_j))
         return vm, jnp.sum(vm)
 
-    # Occupancy-compacted field eval: only the observed truncation band of
-    # the map is valid (typically <10% of grid points at export resolution),
-    # and the hash-grid gather per point dominates extraction cost on TPU —
-    # so gather-compact the valid points to a pow-2 bucket and evaluate the
-    # SDF on those alone. Full dense eval stays as the dense-slab fallback.
-    @functools.partial(jax.jit, static_argnums=(2,))
-    def eval_compact(xs_j, vm, bucket):
-        pts = slab_pts(xs_j)
-        nv = jnp.sum(vm)
-        idx = jnp.nonzero(vm, size=bucket, fill_value=pts.shape[0])[0]
-        sdf_c = sdf_apply(
-            sdf_params, pts[jnp.minimum(idx, pts.shape[0] - 1)], geom, spec
-        )[0][:, 0]
-        in_r = jnp.arange(bucket) < nv
-        sdf = jnp.full((pts.shape[0],), _OUTSIDE_SDF, jnp.float32)
-        sdf = sdf.at[jnp.where(in_r, idx, pts.shape[0])].set(
-            sdf_c, mode="drop"
-        )
-        return sdf.reshape(xs_j.shape[0], ny, nz)
-
     @jax.jit
     def eval_full(xs_j, vm):
         pts = slab_pts(xs_j)
@@ -94,63 +76,124 @@ def extract_mesh(
         sdf = jnp.where(vm, sdf, _OUTSIDE_SDF)
         return sdf.reshape(xs_j.shape[0], ny, nz)
 
-    # On-device triangle compaction: marching_tets emits a fixed-capacity
-    # [cells*12, 3, 3] buffer; pulling that dense buffer to host per slab is
-    # ~100 MB of D2H through the (slow) tunnel plus a 3M-row host weld, and
-    # was the dominant cost of budget-resolution extraction (~3 s/slab, 95%
-    # of it transfer+weld). Gather the emitted rows to a small fixed cap on
-    # device instead; overflow (count > cap) falls back to the dense pull.
     tri_cap = _TRI_CAP
 
-    @jax.jit
-    def march_compact(sdf_grid, vm_grid):
-        tri, mask = marching_tets(sdf_grid, iso=0.0, corner_valid=vm_grid)
-        count = jnp.sum(mask)
-        idx = jnp.nonzero(mask, size=tri_cap, fill_value=0)[0]
-        return tri[idx], jnp.arange(tri_cap) < count, count
-
-    all_verts, all_faces, n_verts = [], [], 0
-    # overlap slabs by one voxel layer so surfaces crossing slab borders close
-    x_starts = list(range(0, nx - 1, slab_voxels - 1))
-    # progress bar per slab (reference: tq::trange "Marching Cubes",
-    # local_map.cpp:237-239)
-    from ..utils.progress import ProgressBar
-
-    for xs0 in ProgressBar(x_starts, prefix="Marching Tets"):
-        xn = min(slab_voxels, nx - xs0)
-        if xn < 2:
-            continue
+    def slab_dense(xs0, xn):
+        """Single-slab fallback: dense eval + dense triangle pull. Used for
+        the partial tail slab and for fused-path overflows."""
         xs_j = jnp.asarray(
             lo[0] + (xs0 + np.arange(xn)) * resolution, jnp.float32
         )
         vm, nv = slab_mask(xs_j)
-        nv = int(nv)
-        if nv == 0:
-            continue   # fully unobserved slab: no surface can be extracted
-        slab_elems = xn * ny * nz
-        # power-of-4 buckets: each distinct bucket is one (tunnel-slow)
-        # compile, so quantize coarsely
-        bucket = 1 << max(-(-max(nv, 1).bit_length() // 2) * 2, 12)
-        if bucket <= slab_elems // 2:
-            sdf_grid = eval_compact(xs_j, vm, bucket)
-        else:
-            sdf_grid = eval_full(xs_j, vm)
+        if int(nv) == 0:
+            return None
+        sdf_grid = eval_full(xs_j, vm)
         vm_grid = vm.reshape(xn, ny, nz)
-        # boundary-artifact suppression at extraction: cells touching
-        # unobserved space emit no triangles (replaces the reference's
-        # post-hoc 27-neighbor vertex filter, local_map.cpp:410-417, which
-        # is fragile when the surface grazes a voxel face)
-        tri_c, ok_c, count = march_compact(sdf_grid, vm_grid)
-        if int(count) > tri_cap:   # rare: surface denser than the cap
-            tri, mask = march(sdf_grid, corner_valid=vm_grid)
-            tri_c, ok_c = np.asarray(tri), np.asarray(mask)
-        verts, faces = compact_mesh(
-            np.asarray(tri_c), np.asarray(ok_c),
+        tri, mask = march(sdf_grid, corner_valid=vm_grid)
+        return compact_mesh(
+            np.asarray(tri), np.asarray(mask),
             lower=(lo[0] + xs0 * resolution, lo[1], lo[2]),
             res=resolution,
         )
-        if len(verts) == 0:
-            continue
+
+    # Batched fused extraction: ONE jitted call per _SLABS_PER_CALL slabs
+    # runs mask -> occupancy-compacted SDF eval (only the observed
+    # truncation band is valid — typically <10% of grid points at export
+    # resolution, and the hash-grid gather dominates eval cost) -> marching
+    # tets -> on-device triangle compaction under a lax.map, returning only
+    # the compacted triangles. The previous per-slab loop cost ~3 host
+    # round-trips per slab through the tunnel (mask-count sync, eval
+    # dispatch, ~100 MB dense triangle pull) — at 512 budget-resolution
+    # slabs the RTTs and transfers alone were minutes. One fixed bucket
+    # means one compile. Overflows (valid points > bucket, triangles >
+    # cap) are detected from the returned counts and redone densely.
+    ar_slab = jnp.arange(slab_voxels, dtype=jnp.float32)
+    slab_elems = slab_voxels * ny * nz
+    bucket = min(1 << 18, 1 << int(np.ceil(np.log2(slab_elems))))
+
+    @jax.jit
+    def fused_batch(starts):       # [K] int32 x-start voxel indices
+        def one(xs0):
+            xs_j = lo[0] + (xs0.astype(jnp.float32) + ar_slab) * resolution
+            pts = slab_pts(xs_j)
+            vm = valid_mask(grid, pts)
+            nv = jnp.sum(vm)
+            if bucket < slab_elems:
+                idx = jnp.nonzero(vm, size=bucket,
+                                  fill_value=pts.shape[0])[0]
+                sdf_c = sdf_apply(
+                    sdf_params, pts[jnp.minimum(idx, pts.shape[0] - 1)],
+                    geom, spec,
+                )[0][:, 0]
+                in_r = jnp.arange(bucket) < nv
+                sdf = jnp.full((pts.shape[0],), _OUTSIDE_SDF, jnp.float32)
+                sdf = sdf.at[jnp.where(in_r, idx, pts.shape[0])].set(
+                    sdf_c, mode="drop"
+                )
+            else:
+                sdf = jnp.where(
+                    vm, sdf_apply(sdf_params, pts, geom, spec)[0][:, 0],
+                    _OUTSIDE_SDF,
+                )
+            sdf_grid = sdf.reshape(slab_voxels, ny, nz)
+            vm_grid = vm.reshape(slab_voxels, ny, nz)
+            # corner_valid: cells touching unobserved space emit no
+            # triangles (replaces the reference's post-hoc 27-neighbor
+            # vertex filter, local_map.cpp:410-417, which is fragile when
+            # the surface grazes a voxel face)
+            tri, mask = marching_tets(sdf_grid, iso=0.0,
+                                      corner_valid=vm_grid)
+            count = jnp.sum(mask)
+            tidx = jnp.nonzero(mask, size=tri_cap, fill_value=0)[0]
+            return (tri[tidx], jnp.arange(tri_cap) < count, count, nv)
+        return jax.lax.map(one, starts)
+
+    all_verts, all_faces, n_verts = [], [], 0
+    # overlap slabs by one voxel layer so surfaces crossing slab borders close
+    x_starts = list(range(0, nx - 1, slab_voxels - 1))
+    main_starts = [s for s in x_starts
+                   if min(slab_voxels, nx - s) == slab_voxels]
+    tail_starts = [s for s in x_starts
+                   if 2 <= min(slab_voxels, nx - s) < slab_voxels]
+    # progress bar per slab batch (reference: tq::trange "Marching Cubes",
+    # local_map.cpp:237-239)
+    from ..utils.progress import ProgressBar
+
+    K = _SLABS_PER_CALL
+    batches = [main_starts[i : i + K] for i in range(0, len(main_starts), K)]
+    results = []   # (xs0, verts, faces) in x order
+
+    for batch in ProgressBar(batches, prefix="Marching Tets"):
+        starts = np.asarray(batch, np.int32)
+        padded = np.concatenate(
+            [starts, np.repeat(starts[-1:], K - len(starts))]
+        )
+        tris, oks, counts, nvs = (
+            np.asarray(a) for a in fused_batch(jnp.asarray(padded))
+        )
+        for j, xs0 in enumerate(batch):
+            if nvs[j] == 0:
+                continue   # fully unobserved slab: no surface
+            if nvs[j] > bucket or counts[j] > tri_cap:
+                r = slab_dense(xs0, slab_voxels)   # overflow: redo densely
+            elif counts[j] == 0:
+                continue   # observed but no iso crossing in this slab
+            else:
+                r = compact_mesh(
+                    tris[j], oks[j],
+                    lower=(lo[0] + xs0 * resolution, lo[1], lo[2]),
+                    res=resolution,
+                )
+            if r is None or len(r[0]) == 0:
+                continue
+            results.append((xs0, r[0], r[1]))
+
+    for xs0 in tail_starts:
+        r = slab_dense(xs0, nx - xs0)
+        if r is not None and len(r[0]) > 0:
+            results.append((xs0, r[0], r[1]))
+
+    for _, verts, faces in sorted(results, key=lambda t: t[0]):
         all_verts.append(verts)
         all_faces.append(faces + n_verts)
         n_verts += len(verts)
