@@ -24,6 +24,9 @@ _OUTSIDE_SDF = 1e-6  # default for unobserved space (local_map.cpp:381)
 # per-slab on-device triangle compaction capacity (see extract_mesh);
 # module-level so tests can force the overflow fallback
 _TRI_CAP = 1 << 16
+# cap on the occupancy-compacted SDF eval bucket; module-level so tests can
+# force the compacted branch (bucket < slab_elems) and the nv-overflow redo
+_BUCKET_CAP = 1 << 18
 # x-slabs extracted per fused device call (one host round-trip per batch)
 _SLABS_PER_CALL = 8
 
@@ -55,6 +58,13 @@ def extract_mesh(
 
     ys = lo[1] + np.arange(ny) * resolution
     zs = lo[2] + np.arange(nz) * resolution
+    # single source of truth for slab x sample positions: the fused path and
+    # the dense fallback MUST evaluate the SDF at bit-identical float32
+    # coordinates, or 1-ULP differences shift iso-crossing interpolation and
+    # flip compact_mesh's quantized weld keys (overflow fallback then drops
+    # vertices the fused path kept)
+    xs_all = (lo[0] + np.arange(nx) * resolution).astype(np.float32)
+    xs_all_j = jnp.asarray(xs_all)
 
     march = jax.jit(functools.partial(marching_tets, iso=0.0))
     ys_j = jnp.asarray(ys, jnp.float32)
@@ -81,9 +91,7 @@ def extract_mesh(
     def slab_dense(xs0, xn):
         """Single-slab fallback: dense eval + dense triangle pull. Used for
         the partial tail slab and for fused-path overflows."""
-        xs_j = jnp.asarray(
-            lo[0] + (xs0 + np.arange(xn)) * resolution, jnp.float32
-        )
+        xs_j = jnp.asarray(xs_all[xs0 : xs0 + xn])
         vm, nv = slab_mask(xs_j)
         if int(nv) == 0:
             return None
@@ -107,14 +115,13 @@ def extract_mesh(
     # slabs the RTTs and transfers alone were minutes. One fixed bucket
     # means one compile. Overflows (valid points > bucket, triangles >
     # cap) are detected from the returned counts and redone densely.
-    ar_slab = jnp.arange(slab_voxels, dtype=jnp.float32)
     slab_elems = slab_voxels * ny * nz
-    bucket = min(1 << 18, 1 << int(np.ceil(np.log2(slab_elems))))
+    bucket = min(_BUCKET_CAP, 1 << int(np.ceil(np.log2(slab_elems))))
 
     @jax.jit
     def fused_batch(starts):       # [K] int32 x-start voxel indices
         def one(xs0):
-            xs_j = lo[0] + (xs0.astype(jnp.float32) + ar_slab) * resolution
+            xs_j = jax.lax.dynamic_slice(xs_all_j, (xs0,), (slab_voxels,))
             pts = slab_pts(xs_j)
             vm = valid_mask(grid, pts)
             nv = jnp.sum(vm)

@@ -75,6 +75,53 @@ def test_overflow_fallback_matches_compact(sphere_env, monkeypatch):
     )
 
 
+@pytest.fixture()
+def shell_env(monkeypatch):
+    """Occupancy observed only in a thin shell around the sphere surface, so
+    per-slab valid counts are far below slab_elems — exercises the
+    occupancy-compacted SDF eval branch when _BUCKET_CAP is forced low."""
+    monkeypatch.setattr(meshing, "sdf_apply", _sphere_sdf)
+    monkeypatch.setattr(meshing, "sdf_gradient_numerical", _sphere_grad)
+    geom = MapGeometry(origin=(0.0, 0.0, 0.0), map_size=2.0)
+    n = 32
+    ax = (np.arange(n) + 0.5) / n * 2.0 - 1.0
+    gx, gy, gz = np.meshgrid(ax, ax, ax, indexing="ij")
+    pts = np.stack([gx, gy, gz], -1).reshape(-1, 3)
+    d = np.abs(np.linalg.norm(pts, axis=-1) - RADIUS)
+    grid = build_occupancy_grid(pts[d < 0.12], geom, n)
+    return geom, grid
+
+
+def test_compacted_eval_matches_dense(shell_env, monkeypatch):
+    """Force bucket < slab_elems with per-slab valid counts under the bucket:
+    the compacted-gather SDF eval must reproduce the dense-eval mesh."""
+    geom, grid = shell_env
+    kwargs = dict(resolution=0.05, slab_voxels=8, with_colors=False)
+    v1, f1, _ = extract_mesh(None, geom, SDFFieldSpec(), grid, **kwargs)
+    assert len(v1) > 0
+
+    # slab_elems = 8 * 41 * 41 = 13448; shell valid counts are ~1-3k/slab
+    monkeypatch.setattr(meshing, "_BUCKET_CAP", 8192)
+    v2, f2, _ = extract_mesh(None, geom, SDFFieldSpec(), grid, **kwargs)
+    assert len(v2) == len(v1) and len(f2) == len(f1)
+    assert np.allclose(np.sort(v1.ravel()), np.sort(v2.ravel()), atol=1e-6)
+
+
+def test_nv_overflow_dense_redo(sphere_env, monkeypatch):
+    """Fully-observed occupancy with bucket forced below slab_elems: every
+    slab's valid count overflows the bucket, so each is redone via the dense
+    fallback — which must match the default (dense-eval) path exactly."""
+    geom, grid = sphere_env
+    kwargs = dict(resolution=0.05, slab_voxels=8, with_colors=False)
+    v1, f1, _ = extract_mesh(None, geom, SDFFieldSpec(), grid, **kwargs)
+    assert len(v1) > 0
+
+    monkeypatch.setattr(meshing, "_BUCKET_CAP", 4096)
+    v2, f2, _ = extract_mesh(None, geom, SDFFieldSpec(), grid, **kwargs)
+    assert len(v2) == len(v1) and len(f2) == len(f1)
+    assert np.allclose(np.sort(v1.ravel()), np.sort(v2.ravel()), atol=1e-6)
+
+
 def test_unobserved_space_emits_nothing(sphere_env):
     geom, grid = sphere_env
     empty = dataclasses.replace(
