@@ -22,7 +22,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..fields.occupancy import OccupancyGrid, valid_mask
 from ..fields.sampling import RayBatch, compact_samples, sample_points
-from ..fields.sdf_field import MapGeometry, sdf_apply
+from ..fields.sdf_field import MapGeometry, sdf_apply, sdf_apply_with_grad
 from ..gs.model import SplatModel
 from ..ops.pallas.segsum import table_gather
 from ..gs.render import render_splats
@@ -30,7 +30,12 @@ from ..sensors.cameras import Camera
 from .. import losses
 from ..train.gs import GSState, GSTrainSpec, gs_image_losses, gs_lr_tree
 from ..train.optim import adam_update
-from ..train.sdf import SDFTrainSpec, sdf_losses, sdf_regularization
+from ..train.sdf import (
+    SDFTrainSpec,
+    align_regularization,
+    sdf_losses,
+    sdf_regularization,
+)
 from ..gs.model import update_densify_state
 
 
@@ -113,8 +118,13 @@ def make_multicam_gs_train_step(
         if gt_images.dtype == jnp.uint8:
             gt_images = gt_images.astype(jnp.float32) * (1.0 / 255.0)
         b = gt_images.shape[0]
-        kr, ksamp, kreg, kreg_gs = jax.random.split(key, 4)
-        cam_keys = jax.random.split(kr, b)
+        # key derivation mirrors the single-device step (train/gs.py) so a
+        # B=1 multicam step is BIT-IDENTICAL to the single step — the
+        # multicam-vs-single parity test relies on this
+        krender, ksamp, kreg, kreg_gs, kreg_num = jax.random.split(key, 5)
+        cam_keys = (
+            krender[None] if b == 1 else jax.random.split(krender, b)
+        )
         rsettings = spec.render._replace(sh_degree=sh_active)
 
         joint_sdf = spec.gs_sdf_reg and not spec.detach_sdf_grad
@@ -157,7 +167,18 @@ def make_multicam_gs_train_step(
                 aux["sdf_nn"] = sdf_nn_loss
                 aux["isigma_mean"] = sdf_aux["isigma_mean"]
 
-            def per_cam(gt, pose, pdel, ck):
+            # fused analytic path available: gs_sdf value AND eikonal grad
+            # from ONE hash gather per camera (same semantics as the
+            # single-device step, train/gs.py — a --mesh N run must train
+            # the same math; reference: neural_mapping.cpp:449-452)
+            gs_eik = (
+                spec.gs_sdf_reg
+                and joint_sdf
+                and spec.sdf.eikonal_weight > 0
+                and not spec.sdf.numerical_grad
+            )
+
+            def per_cam(gt, pose, pdel, ck, creg):
                 render = render_splats(
                     model, pose, K, rsettings, training=True, key=ck,
                     pix_delta=pdel, center_reg=spec.center_reg,
@@ -170,6 +191,7 @@ def make_multicam_gs_train_step(
                     render["drop_frac"]
                 )
                 gs_sdf_terms = {}
+                sdf_cam = 0.0
                 if spec.gs_sdf_reg:
                     vis = jax.lax.stop_gradient(render["visibilities"])
                     w = jax.lax.stop_gradient(render["samples_w"][:, 0]) * vis
@@ -196,40 +218,78 @@ def make_multicam_gs_train_step(
                             jnp.maximum(n_vis - spec.gs_sdf_budget, 0)
                             / jnp.maximum(n_vis, 1)
                         ).astype(jnp.float32)
-                    gs_sdf, _ = sdf_apply(
-                        sdf_p, x_gs, geom, spec.sdf.field
-                    )
+                    if gs_eik:
+                        # fused shared-gather eval: value (grad -> splats)
+                        # + eikonal gradient (positions detached, the
+                        # reference's xyz.detach(), neural_mapping.cpp:
+                        # 450-452) + 2-probe align prior — identical math
+                        # to the single-device step
+                        gs_sdf, _, gs_grad, _ = sdf_apply_with_grad(
+                            sdf_p, x_gs, geom, spec.sdf.field,
+                            detach_grad_positions=True,
+                        )
+                        l_eik = losses.eikonal_loss(gs_grad, m)
+                        al_aux: Dict[str, jnp.ndarray] = {}
+                        sdf_cam = (
+                            spec.sdf.eikonal_weight * l_eik
+                            + align_regularization(
+                                sdf_p, jax.lax.stop_gradient(x_gs), m,
+                                gs_grad, geom, spec.sdf, sample_std, creg,
+                                al_aux, name="gs_align",
+                            )
+                        )
+                        gs_sdf_terms["gs_eik"] = l_eik
+                        if "gs_align" in al_aux:
+                            gs_sdf_terms["gs_align"] = al_aux["gs_align"]
+                    else:
+                        gs_sdf, _ = sdf_apply(
+                            sdf_p, x_gs, geom, spec.sdf.field
+                        )
                     w = jnp.where(m, w, 0.0)
                     if spec.gs_sdf_weight > 0:
                         l = losses.gs_sdf_loss(gs_sdf[:, 0], w)
                         gs_loss = gs_loss + spec.gs_sdf_weight * l
                         gs_sdf_terms["gs_sdf"] = l
-                    gs_sdf_terms["gs_samples"] = jax.lax.stop_gradient(x_gs)
-                    gs_sdf_terms["gs_mask"] = m
+                    if not gs_eik:
+                        gs_sdf_terms["gs_samples"] = jax.lax.stop_gradient(
+                            x_gs
+                        )
+                        gs_sdf_terms["gs_mask"] = m
                 meta = (render["radii"], render["visibilities"],
                         render["visible"] & render["binned"])
-                return gs_loss, img_aux, gs_sdf_terms, meta
+                return gs_loss, img_aux, gs_sdf_terms, sdf_cam, meta
 
-            gs_losses_b, img_aux_b, gs_sdf_b, meta_b = jax.vmap(per_cam)(
-                gt_images, poses, pix_delta_b, cam_keys
+            reg_keys = (
+                kreg_gs[None] if b == 1 else jax.random.split(kreg_gs, b)
             )
+            gs_losses_b, img_aux_b, gs_sdf_b, sdf_cam_b, meta_b = jax.vmap(
+                per_cam
+            )(gt_images, poses, pix_delta_b, cam_keys, reg_keys)
             gs_loss = jnp.mean(gs_losses_b)
             aux.update({k: jnp.mean(v) for k, v in img_aux_b.items()})
             if spec.gs_sdf_reg and "gs_sdf" in gs_sdf_b:
                 aux["gs_sdf"] = jnp.mean(gs_sdf_b["gs_sdf"])
+            if spec.gs_sdf_reg and "gs_eik" in gs_sdf_b:
+                aux["gs_eik"] = jnp.mean(gs_sdf_b["gs_eik"])
+            if spec.gs_sdf_reg and "gs_align" in gs_sdf_b:
+                aux["gs_align"] = jnp.mean(gs_sdf_b["gs_align"])
             if spec.gs_sdf_reg and "gs_sdf_overflow" in gs_sdf_b:
                 # worst camera: a saturated budget must be visible in the
                 # train log, not silent (same rule as tile_cap drop_frac)
                 aux["gs_sdf_overflow"] = jnp.max(gs_sdf_b["gs_sdf_overflow"])
+            if gs_eik:
+                sdf_nn_loss = sdf_nn_loss + jnp.mean(sdf_cam_b)
 
-            # eikonal on gs samples from all cameras trains the SDF side
-            # (subsampled; full capacity x FD offsets OOMs)
-            if spec.gs_sdf_reg and joint_sdf and spec.sdf.eikonal_weight > 0:
+            # numerical-grad fallback: FD regularizer on a subsample of
+            # gs samples from all cameras (full capacity x FD offsets OOMs);
+            # mirrors the single-device elif (train/gs.py)
+            if (spec.gs_sdf_reg and joint_sdf
+                    and spec.sdf.eikonal_weight > 0 and not gs_eik):
                 xs = gs_sdf_b["gs_samples"].reshape(-1, 3)
                 ms = gs_sdf_b["gs_mask"].reshape(-1)
                 kk = spec.sdf.eikonal_sample_num
                 if 0 < kk < xs.shape[0]:
-                    sel = jax.random.randint(kreg_gs, (kk,), 0, xs.shape[0])
+                    sel = jax.random.randint(kreg_num, (kk,), 0, xs.shape[0])
                     xs, ms = xs[sel], ms[sel]
                 sdf_nn_loss = sdf_nn_loss + sdf_regularization(
                     sdf_p, xs, ms, geom, spec.sdf, sample_std,

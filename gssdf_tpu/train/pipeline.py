@@ -501,6 +501,19 @@ class Pipeline:
         fetch = _FrameFetcher(self.loader, order, b, cfg.preload,
                               to_device=self.mesh is None, pre=pre)
 
+        # gs_log.txt column scope: joint-phase metrics only (stale SDF-phase
+        # columns must not be re-flashed); keys absent at first flash (off
+        # features) are dropped by Llog.flash's cols filter
+        gs_cols = (
+            "gs_loss", "color", "dssim", "sdf_nn_loss", "gs_eik", "sstd",
+            "gs_sdf", "drop_frac", "clamp_frac", "gs_sdf_ovf", "gs_num",
+            "psnr", "host_rss_gb", "device_gb", "device_peak_gb",
+        )
+        from ..utils.llog import memory_stats
+
+        for k, v in memory_stats().items():
+            LLOG.record(k, v)
+
         for i, (gt_b, pose_b) in ProgressBar(
             zip(range(0, iters, b), fetch),
             prefix="GS",
@@ -526,12 +539,23 @@ class Pipeline:
                 self.sample_std = max(
                     1.0 / max(float(aux["isigma_mean"]), 1e-6), cfg.bce_sigma
                 )
+            if cfg.export_interval > 0 and _fires(i, b, cfg.export_interval):
+                p = self.export_test_image(cfg.test_idx, prefix=f"{i}_")
+                if p is not None:
+                    LLOG.record("psnr", p)
+
             if log_now or rinfo:
                 LLOG.record("gs_loss", float(aux["gs_loss"]))
                 LLOG.record("color", float(aux["color"]))
                 LLOG.record("dssim", float(aux["dssim"]))
                 if "sdf_nn" in aux:
                     LLOG.record("sdf_nn_loss", float(aux["sdf_nn"]))
+                # joint-phase SDF observability: record the LIVE eikonal from
+                # this step's aux instead of re-flashing the stale SDF-phase
+                # `eik` column (which froze at the last SDF-phase value)
+                if "gs_eik" in aux:
+                    LLOG.record("gs_eik", float(aux["gs_eik"]))
+                LLOG.record("sstd", self.sample_std)
                 if "gs_sdf" in aux:
                     LLOG.record("gs_sdf", float(aux["gs_sdf"]))
                 if "drop_frac" in aux:
@@ -542,19 +566,12 @@ class Pipeline:
                     LLOG.record("gs_sdf_ovf", float(aux["gs_sdf_overflow"]))
                 LLOG.record("gs_num", int(jnp.sum(self.gs_state.alive)))
                 if _fires(i, b, log_every * 50):
-                    from ..utils.llog import memory_stats
-
                     for k, v in memory_stats().items():
                         LLOG.record(k, v)
                 if log_path:
-                    LLOG.flash(log_path)
+                    LLOG.flash(log_path, cols=gs_cols)
                     if _fires(i, b, 2000) and i > 0:
                         _plot_async(log_path)
-
-            if cfg.export_interval > 0 and _fires(i, b, cfg.export_interval):
-                p = self.export_test_image(cfg.test_idx, prefix=f"{i}_")
-                if p is not None:
-                    LLOG.record("psnr", p)
 
             if log_now and self._poll_keys():
                 break

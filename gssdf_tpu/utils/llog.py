@@ -57,27 +57,35 @@ class Llog:
         if avg:
             self._avg.setdefault(name, []).append(float(value))
 
-    def flash(self, path, n_digits: int = 3) -> str:
+    def flash(self, path, n_digits: int = 3, cols=None) -> str:
         """Append one row; returns 'k1=v1 k2=v2 ...' for a progress bar.
 
         The column set is frozen per file at header time — values recorded
-        for the first time later in the run do not widen existing logs."""
+        for the first time later in the run do not widen existing logs.
+        Pass ``cols`` to scope a file to an explicit column set (e.g. the
+        GS-phase log must not re-flash stale SDF-phase values); only keys
+        recorded at least once are kept, so optional metrics don't emit
+        all-zero columns."""
         path = Path(path)
-        cols = self._file_columns.get(path)
-        if cols is None:
-            cols = list(self._order)
-            self._file_columns[path] = cols
+        file_cols = self._file_columns.get(path)
+        if file_cols is None:
+            file_cols = (
+                [k for k in cols if k in self.values]
+                if cols is not None
+                else list(self._order)
+            )
+            self._file_columns[path] = file_cols
             if not path.exists():
                 path.parent.mkdir(parents=True, exist_ok=True)
                 with open(path, "w") as f:
-                    f.write(" ".join(cols) + "\n")
+                    f.write(" ".join(file_cols) + "\n")
         with open(path, "a") as f:
             f.write(
-                " ".join(f"{self.values.get(k, 0.0):.6g}" for k in cols)
+                " ".join(f"{self.values.get(k, 0.0):.6g}" for k in file_cols)
                 + "\n"
             )
         parts = []
-        for k in self._order[:8]:
+        for k in file_cols[:8]:
             parts.append(f"{k}={self.values.get(k, 0.0):.{n_digits}g}")
         return " ".join(parts)
 

@@ -232,6 +232,61 @@ def test_multicam_step_matches_single_cam():
         )
 
 
+def test_multicam_matches_single_with_gs_sdf_reg():
+    """B=1 multicam step vs the single-device step with the FULL joint
+    regularizer on (fused analytic gs-eikonal + gs_align + gs_sdf budget
+    compaction): key derivation is aligned so the two implementations must
+    produce identical losses, aux terms, and parameter updates. Guards the
+    semantic gap where a --mesh run trained different math than a
+    single-chip run (reference: neural_mapping.cpp:420-462)."""
+    import dataclasses
+
+    from gssdf_tpu.train.gs import make_gs_train_step
+
+    spec, geom, grid, cam, state, W, H = _gs_setup(gs_sdf_reg=True)
+    spec = dataclasses.replace(
+        spec,
+        sdf=dataclasses.replace(
+            spec.sdf, align_weight=0.1, eikonal_weight=0.1,
+            numerical_grad=False,
+        ),
+        gs_sdf_budget=16,
+        gs_sdf_weight=1e-3,
+    )
+    gt = jnp.linspace(0, 1, H * W * 3).reshape(H, W, 3)
+    pose = jnp.eye(4, dtype=jnp.float32)
+    r = spec.sdf.batch_rays
+    rays = (
+        jnp.zeros((r, 3)),
+        jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (r, 1)),
+        jnp.full((r, 1), 2.0),
+    )
+    key = jax.random.PRNGKey(7)
+
+    single = make_gs_train_step(spec, geom, grid, cam)
+    s1, aux1 = single(
+        _ctree(state), gt, pose, *rays, key, 0.05, 1e-4, 1.6e-4, 0,
+        False, False, None,
+    )
+    multi = make_multicam_gs_train_step(spec, geom, grid, cam, mesh=None)
+    s2, aux2 = multi(
+        _ctree(state), gt[None], pose[None], *rays, key, 0.05, 1e-4,
+        1.6e-4, 0, False, False, None,
+    )
+
+    for k in ("loss", "gs_loss", "sdf_nn", "gs_sdf", "gs_eik", "gs_align"):
+        assert k in aux1, f"single step aux missing {k}"
+        assert k in aux2, f"multicam step aux missing {k}"
+        np.testing.assert_allclose(
+            float(aux1[k]), float(aux2[k]), rtol=1e-5, atol=1e-7, err_msg=k
+        )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s1.params),
+        jax.tree_util.tree_leaves(s2.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_sharded_multistep_train_with_refine():
     """Multi-step sharded joint training incl. refine + opacity-reset events
     on the replicated state: alive set changes, everything stays finite and
