@@ -18,8 +18,16 @@ import numpy as np
 def cmd_train(args):
     from .config import load_config
     from .train.pipeline import Pipeline
+    from .utils.compile_cache import enable_compilation_cache
 
-    cfg = load_config(args.config, args.data, make_run_dir=True)
+    enable_compilation_cache()
+    resume_dir = getattr(args, "resume", None)
+    cfg = load_config(args.config, args.data, make_run_dir=not resume_dir)
+    if resume_dir:
+        from pathlib import Path
+
+        cfg.output_path = str(Path(resume_dir))
+        cfg.model_path = str(Path(resume_dir) / "model")
     if cfg.debug:
         # k_debug anomaly-mode analog (neural_mapping.cpp:310-312): trap
         # NaNs at the op that produced them instead of downstream
@@ -34,7 +42,10 @@ def cmd_train(args):
         cfg.mesh_shape = {"data": args.mesh}
     print(f"run dir: {cfg.output_path}")
     pipe = Pipeline(cfg)
-    pipe.batch_train()
+    if resume_dir:
+        pipe.resume_train()
+    else:
+        pipe.batch_train()
 
 
 def _load_run(run_dir: str, with_data: bool = False):
@@ -258,6 +269,9 @@ def main(argv=None):
                     help="override gs_iter_step")
     pt.add_argument("--mesh", type=int, default=None,
                     help="data-parallel devices (0 = all local devices)")
+    pt.add_argument("--resume", default=None, metavar="RUN_DIR",
+                    help="continue an interrupted run from its run dir "
+                         "(mid-GS-phase via model/gs_resume.npz)")
     pt.set_defaults(fn=cmd_train)
 
     pv = sub.add_parser("view")

@@ -137,6 +137,11 @@ class Config:
 
     # --- GS training (config/base.yaml:36-60) ---
     gs_iter_step: int = 30000
+    # mid-GS-phase resume snapshot cadence (iterations); 0 disables. No
+    # reference analog — outage-proofing for long runs over a fragile
+    # device tunnel: a dropped run resumes from model/gs_resume.npz with
+    # `train --resume <run_dir>` instead of restarting the phase.
+    resume_interval: int = 2000
     rgb_weight: float = 0.8
     dssim_weight: float = 0.2
     geo_init: bool = True

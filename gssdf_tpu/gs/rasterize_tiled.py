@@ -95,19 +95,35 @@ def tile_bbox(
 
 
 def _emit_entries(x0c, y0c, sx, sy, ranks, ids, expand: int, tiles_x: int,
-                  num_tiles: int, rank_bits: int):
+                  num_tiles: int, rank_bits: int, tile_size: int,
+                  mx=None, my=None, rad=None):
     """Flat (packed sort key, splat-id payload) entry streams for one bucket.
 
     Key = (tile_id << rank_bits) | depth_rank — unique, so the binning sort
     can be unstable. Entries outside the window get the sentinel tile.
+
+    When (mx, my, rad) are given, entries whose tile RECT lies entirely
+    farther than the splat's alpha-cutoff radius are culled (circle-rect
+    intersection): the bbox window includes corner tiles the projected
+    Gaussian never reaches at visible alpha — they consume tile capacity
+    and sort rows for zero contribution. The CUDA reference composites
+    them at negligible alpha instead; culling them here is exact to the
+    same cutoff the radius already encodes (projection.py).
     """
     win_w, _ = _win_dims(expand)
     e = jnp.arange(expand, dtype=jnp.int32)                  # [E]
     ex = (e & (win_w - 1))[None, :]
     ey = (e >> (win_w.bit_length() - 1))[None, :]
     ok = (ex < sx[:, None]) & (ey < sy[:, None])
-    tid = (y0c[:, None] + ey) * tiles_x + (x0c[:, None] + ex)
-    tid = jnp.where(ok, tid, num_tiles)                      # sentinel tile
+    tx = x0c[:, None] + ex
+    ty = y0c[:, None] + ey
+    if mx is not None:
+        fx = tx.astype(jnp.float32) * tile_size
+        fy = ty.astype(jnp.float32) * tile_size
+        dx = jnp.clip(mx[:, None], fx, fx + tile_size) - mx[:, None]
+        dy = jnp.clip(my[:, None], fy, fy + tile_size) - my[:, None]
+        ok = ok & (dx * dx + dy * dy <= (rad * rad)[:, None])
+    tid = jnp.where(ok, ty * tiles_x + tx, num_tiles)        # sentinel tile
     key = (tid << rank_bits) | ranks[:, None]
     pay = jnp.broadcast_to(ids[:, None], tid.shape)
     return key.reshape(-1), pay.reshape(-1)
@@ -183,8 +199,11 @@ def tile_encode(
             axis=1,
         )
 
+        fcols = jnp.concatenate([means2d, radii[:, None]], axis=1)  # [N, 3]
+
         def bucket(ids, expand):
             c = cols[ids]
+            f = fcols[ids]
             v = c[:, 7] > 0
             x0c, y0c, sx, sy = _window(
                 c[:, 0], c[:, 1], c[:, 2], c[:, 3], c[:, 4], c[:, 5], v,
@@ -192,7 +211,7 @@ def tile_encode(
             )
             key, pay = _emit_entries(
                 x0c, y0c, sx, sy, c[:, 6], ids, expand, tiles_x, num_tiles,
-                rank_bits,
+                rank_bits, tile_size, f[:, 0], f[:, 1], f[:, 2],
             )
             clamped = jnp.sum(
                 ((sx < c[:, 1] - c[:, 0] + 1) | (sy < c[:, 3] - c[:, 2] + 1))
@@ -211,7 +230,8 @@ def tile_encode(
         )
         flat_key, flat_pay = _emit_entries(
             x0c, y0c, sx, sy, rank, jnp.arange(n, dtype=jnp.int32),
-            tile_expand, tiles_x, num_tiles, rank_bits,
+            tile_expand, tiles_x, num_tiles, rank_bits, tile_size,
+            means2d[:, 0], means2d[:, 1], radii,
         )
         clamp_frac = (
             jnp.sum(((sx < tx1 - tx0 + 1) | (sy < ty1 - ty0 + 1)) & valid)
@@ -249,7 +269,7 @@ def tile_encode(
     drop_frac = (
         jnp.sum(jnp.maximum(raw_counts - tile_cap, 0)) / total_entries
     ).astype(jnp.float32)
-    return tile_lists, counts, drop_frac, clamp_frac
+    return tile_lists, counts, drop_frac, clamp_frac, raw_counts
 
 
 def rasterize_tiled(
@@ -303,7 +323,7 @@ def rasterize_tiled(
     if pix_delta is None:
         pix_delta = jnp.zeros((n, 2), means2d.dtype)
 
-    tile_lists, _, drop_frac, clamp_frac = tile_encode(
+    tile_lists, _, drop_frac, clamp_frac, raw_counts = tile_encode(
         means2d,
         radii,
         jax.lax.stop_gradient(depths),
@@ -428,6 +448,20 @@ def rasterize_tiled(
             vis_m = jnp.ones((n + 1,), jnp.float32)
         outs = outs.reshape(nb * tile_batch, ts2, -1)[:num_tiles]
 
+    # Transmittance-weighted drop bound: entries beyond the cap would have
+    # composited AFTER the kept front-to-back prefix, so per pixel their
+    # total contribution is bounded by the tile's FINAL transmittance
+    # T = 1 - acc. drop_vis weights each tile's dropped entries by that
+    # bound — the CUDA early-stop equivalence argument made measurable
+    # (reference lists are unbounded, neural_gaussian.cpp:207-223): a
+    # saturated tile (T ~ 0) proves its drops contributed ~nothing.
+    t_final = 1.0 - jnp.mean(outs[:num_tiles, :, 6], axis=1)      # [T]
+    dropped = jnp.maximum(raw_counts - tile_cap, 0).astype(jnp.float32)
+    drop_vis = (
+        jnp.sum(dropped * jnp.maximum(t_final, 0.0))
+        / jnp.maximum(jnp.sum(raw_counts), 1)
+    ).astype(jnp.float32)
+
     # [T, ts2, ch] -> [H, W, ch]
     ch = outs.shape[-1]
     img = outs.reshape(tiles_y, tiles_x, tile_size, tile_size, ch)
@@ -453,5 +487,6 @@ def rasterize_tiled(
         "visibilities": vis[:n],
         "binned": binned,
         "drop_frac": drop_frac,
+        "drop_vis": drop_vis,
         "clamp_frac": clamp_frac,
     }

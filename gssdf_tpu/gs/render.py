@@ -157,5 +157,6 @@ def render_splats(
         "binned": res["binned"],
         "radii": proj.radii,
         "drop_frac": res["drop_frac"],
+        "drop_vis": res["drop_vis"],
         "clamp_frac": res["clamp_frac"],
     }

@@ -190,6 +190,9 @@ def make_multicam_gs_train_step(
                 img_aux["drop_frac"] = jax.lax.stop_gradient(
                     render["drop_frac"]
                 )
+                img_aux["drop_vis"] = jax.lax.stop_gradient(
+                    render["drop_vis"]
+                )
                 gs_sdf_terms = {}
                 sdf_cam = 0.0
                 if spec.gs_sdf_reg:

@@ -191,6 +191,10 @@ class Pipeline:
             "direction": jnp.asarray(pack.direction),
             "depth": jnp.asarray(pack.depth),
         }
+        # surviving-ray indices into the ORIGINAL pack (outlier removal
+        # composes onto this); saved in the GS resume snapshot so a resumed
+        # run reconstructs the exact post-removal pack
+        self.pack_idx = np.arange(pack.origin.shape[0], dtype=np.int64)
         self.sdf_params = init_sdf_field(self._next_key(), self.field_spec)
         self.sdf_opt = adam_init(self.sdf_params)
 
@@ -286,6 +290,7 @@ class Pipeline:
         n0 = int(mask.shape[0])
         idx = jnp.nonzero(mask)[0]
         self.pack_dev = {k: v[idx] for k, v in self.pack_dev.items()}
+        self.pack_idx = self.pack_idx[np.asarray(idx)]
         print(f"Outlier removal({thresh:.3f}): {n0} -> {int(idx.shape[0])}")
 
     # -- GS phase ----------------------------------------------------------
@@ -436,7 +441,8 @@ class Pipeline:
             lr_end=cfg.lr_end,
         )
 
-    def gs_train(self, iters: Optional[int] = None, log_every: int = 10):
+    def gs_train(self, iters: Optional[int] = None, log_every: int = 10,
+                 start_iter: int = 0):
         """Joint phase (gs_train, neural_mapping.cpp:356-531).
 
         On a mesh, each device step renders one camera per chip (B images
@@ -445,6 +451,11 @@ class Pipeline:
         stays off the device critical path (the reference preloads the full
         color stack instead, base_parser.cpp:843-857 — ``preload: true``
         reproduces that too).
+
+        ``start_iter`` > 0 continues an interrupted phase (load_gs_resume):
+        the deterministic frame schedule is sliced, color-init is skipped,
+        and all iteration-indexed schedules (lr, sh, refine) pick up where
+        they left off.
         """
         cfg = self.cfg
         iters = iters if iters is not None else cfg.gs_iter_step
@@ -486,7 +497,7 @@ class Pipeline:
 
         # color-init pre-pass: one epoch, structure frozen, feature lrs x10
         # (gs_train, neural_mapping.cpp:369-387)
-        if cfg.color_init:
+        if cfg.color_init and start_iter == 0:
             order = _frame_order(cfg.seed, n_train, n_train, b)
             fetch = _FrameFetcher(self.loader, order, b, cfg.preload,
                                   to_device=self.mesh is None, pre=pre)
@@ -497,7 +508,7 @@ class Pipeline:
             self.sdf_params = self.gs_state.params["sdf"]
             print(f"color init: {n_train} iterations")
 
-        order = _frame_order(cfg.seed, n_train, iters, b)
+        order = _frame_order(cfg.seed, n_train, iters, b)[start_iter:]
         fetch = _FrameFetcher(self.loader, order, b, cfg.preload,
                               to_device=self.mesh is None, pre=pre)
 
@@ -506,7 +517,8 @@ class Pipeline:
         # features) are dropped by Llog.flash's cols filter
         gs_cols = (
             "gs_loss", "color", "dssim", "sdf_nn_loss", "gs_eik", "sstd",
-            "gs_sdf", "drop_frac", "clamp_frac", "gs_sdf_ovf", "gs_num",
+            "gs_sdf", "drop_frac", "drop_vis", "clamp_frac", "gs_sdf_ovf",
+            "gs_num",
             "psnr", "host_rss_gb", "device_gb", "device_peak_gb",
         )
         from ..utils.llog import memory_stats
@@ -515,9 +527,9 @@ class Pipeline:
             LLOG.record(k, v)
 
         for i, (gt_b, pose_b) in ProgressBar(
-            zip(range(0, iters, b), fetch),
+            zip(range(start_iter, iters, b), fetch),
             prefix="GS",
-            total=len(range(0, iters, b)),
+            total=len(range(start_iter, iters, b)),
         ):
             t_iter.tic()
             xyz_lr = xyz_lr_at(spec, i)
@@ -560,6 +572,8 @@ class Pipeline:
                     LLOG.record("gs_sdf", float(aux["gs_sdf"]))
                 if "drop_frac" in aux:
                     LLOG.record("drop_frac", float(aux["drop_frac"]))
+                if "drop_vis" in aux:
+                    LLOG.record("drop_vis", float(aux["drop_vis"]))
                 if "clamp_frac" in aux:
                     LLOG.record("clamp_frac", float(aux["clamp_frac"]))
                 if "gs_sdf_overflow" in aux:
@@ -572,6 +586,13 @@ class Pipeline:
                     LLOG.flash(log_path, cols=gs_cols)
                     if _fires(i, b, 2000) and i > 0:
                         _plot_async(log_path)
+
+            # resume snapshot LAST in the loop body: it must capture the
+            # post-log sample_std so a resumed run replays the exact
+            # trajectory of an uninterrupted one (tested bit-for-bit)
+            if (cfg.resume_interval > 0 and i > start_iter
+                    and _fires(i, b, cfg.resume_interval)):
+                self.export_gs_resume(i + b)
 
             if log_now and self._poll_keys():
                 break
@@ -853,6 +874,64 @@ class Pipeline:
             print(f"exported {n} splats -> gs.ply")
         save_pt_params(cfg, model_dir / "pt.yaml")
 
+    def export_gs_resume(self, next_iter: int):
+        """Mid-GS-phase resume snapshot: the FULL GSState pytree (params,
+        Adam moments, densify stats, anchors, alive) + iteration counter +
+        sample_std + RNG key + surviving-ray indices. No reference analog —
+        outage-proofing: the reference restarts the phase on a crash; over
+        a fragile device tunnel that costs hours. Atomic (tmp + rename)."""
+        cfg = self.cfg
+        if not cfg.model_path or self.gs_state is None:
+            return
+        leaves = jax.tree_util.tree_leaves(self.gs_state)
+        path = Path(cfg.model_path) / "gs_resume.npz"
+        # np.savez appends ".npz" to names without it — keep the suffix
+        tmp = path.with_name("gs_resume.tmp.npz")
+        np.savez(
+            tmp,
+            gs_iter=np.int64(next_iter),
+            sample_std=np.float64(self.sample_std),
+            key=np.asarray(self.key),
+            pack_idx=self.pack_idx,
+            **{f"leaf{j}": np.asarray(x) for j, x in enumerate(leaves)},
+        )
+        tmp.replace(path)
+
+    def load_gs_resume(self) -> Optional[int]:
+        """Restore a gs_resume snapshot; returns the iteration to continue
+        from, or None when no snapshot exists. Must run after
+        build_occ_map + load_checkpoint (needs sdf_params + pack_dev)."""
+        cfg = self.cfg
+        path = Path(cfg.model_path) / "gs_resume.npz"
+        if not path.exists():
+            return None
+        data = np.load(path)
+        # a minimal same-STRUCTURE state provides the treedef (capacity
+        # differs; tree structure does not)
+        template = gs_state_init(
+            self.sdf_params,
+            build_splat_model(
+                jax.random.PRNGKey(0), jnp.zeros((1, 3)),
+                jnp.zeros((1, 3)),
+                jnp.array([[1.0, 0.0, 0.0, 0.0]]), jnp.zeros((1,)),
+                self.cfg.sh_degree, 8,
+            ),
+        )
+        treedef = jax.tree_util.tree_structure(template)
+        leaves = [
+            jnp.asarray(data[f"leaf{j}"]) for j in range(treedef.num_leaves)
+        ]
+        self.gs_state = jax.tree_util.tree_unflatten(treedef, leaves)
+        self.sdf_params = self.gs_state.params["sdf"]
+        self.sample_std = float(data["sample_std"])
+        self.key = jnp.asarray(data["key"])
+        idx = data["pack_idx"]
+        self.pack_dev = {
+            k: v[jnp.asarray(idx)] for k, v in self.pack_dev.items()
+        }
+        self.pack_idx = idx
+        return int(data["gs_iter"])
+
     def load_checkpoint(self, model_dir):
         """Rebuild fields from a run dir (load_checkpoint,
         neural_mapping.cpp:1344-1378)."""
@@ -931,6 +1010,31 @@ class Pipeline:
             self.init_gs()
             self.gs_train()
         print(f"train took {time.time() - t0:.0f}s")
+        self.end()
+
+    def resume_train(self):
+        """Continue an interrupted run from its run dir: rebuild the
+        deterministic data-side state (prefilter, occupancy, ray pack),
+        restore the SDF checkpoint, then either resume the joint GS phase
+        mid-flight (gs_resume.npz) or rerun it from its start if only the
+        SDF-phase checkpoint landed."""
+        cfg = self.cfg
+        t0 = time.time()
+        if cfg.prefilter > 0:
+            self.prefilter_data()
+        self.build_occ_map()
+        self.load_checkpoint(Path(cfg.model_path))
+        start = self.load_gs_resume()
+        if start is not None and start < cfg.gs_iter_step:
+            print(f"resuming joint GS phase at iteration {start}")
+            self.gs_train(start_iter=start)
+        elif start is None:
+            if self.gs_state is None:
+                self.init_gs()
+            self.gs_train()
+        else:
+            print("GS phase already complete; running final exports")
+        print(f"train took {time.time() - t0:.0f}s (resumed)")
         self.end()
 
     def end(self):

@@ -41,7 +41,7 @@ opac = jnp.full((n,), 0.8)
 colors = jax.random.uniform(key, (n, 3))
 p = project_2dgs(means, quats, scales, jnp.eye(4), K, W, H, 0.01, 100.0)
 tiles_x = -(-W // 16)
-tl, _, _, _ = tile_encode(p.means2d, p.radii, p.depths, p.valid, W, H,
+tl, _, _, _, _ = tile_encode(p.means2d, p.radii, p.depths, p.valid, W, H,
                           16, 128, 32)
 pad = lambda x: jnp.concatenate([x, jnp.zeros((1,) + x.shape[1:], x.dtype)])
 M_p = jnp.concatenate([p.M, jnp.eye(3)[None]], axis=0)

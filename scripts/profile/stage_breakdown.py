@@ -71,13 +71,13 @@ timeit("project+SH fwd", f_proj, model.params)
 @jax.jit
 def f_encode(carry):
     m2d = proj0.means2d + carry*1e-30
-    tl, cnt, _drop, _clamp = tile_encode(m2d, proj0.radii, proj0.depths,
+    tl, cnt, _drop, _clamp, _raw = tile_encode(m2d, proj0.radii, proj0.depths,
                                   proj0.valid, W, H, TILE, CAP, EXPAND)
     return jnp.sum(tl).astype(jnp.float32)
 timeit("tile_encode (sort+seg-gather)", f_encode, jnp.float32(0))
 
 # precompute static tile lists + table for isolation
-tl0, cnt0, _d0, _c0 = jax.jit(lambda: tile_encode(proj0.means2d, proj0.radii,
+tl0, cnt0, _d0, _c0, _r0 = jax.jit(lambda: tile_encode(proj0.means2d, proj0.radii,
     proj0.depths, proj0.valid, W, H, TILE, CAP, EXPAND))()
 tl0 = jax.block_until_ready(tl0)
 print("  entries: mean count/tile=", float(jnp.mean(cnt0)),

@@ -110,7 +110,7 @@ def main():
 
     def enc(small):
         def f(m2d):
-            tl, _, df, cf = RT.tile_encode(
+            tl, _, df, cf, _raw = RT.tile_encode(
                 m2d, radii, depths, valid, W, H, TILE, CAP, EXPAND, small
             )
             # chain: feed a data-dependent perturbation back

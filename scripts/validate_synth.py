@@ -175,11 +175,14 @@ def main():
     ap.add_argument("--sdf-iters", type=int, default=None)
     ap.add_argument("--gs-iters", type=int, default=None)
     ap.add_argument("--frames", type=int, default=40)
-    ap.add_argument("--out", default="RESULTS_r02.md")
+    ap.add_argument("--out", default="RESULTS_r03.md")
     ap.add_argument("--root", default="/tmp/synth_scene")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny point/splat budgets + low res (CI shakeout "
                     "of the full script incl. the RESULTS writer)")
+    ap.add_argument("--resume", default=None, metavar="RUN_DIR",
+                    help="continue an interrupted validation run from its "
+                    "run dir (model/gs_resume.npz)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (smoke runs while the TPU "
                     "tunnel is down; env JAX_PLATFORMS is ignored by the "
@@ -239,21 +242,45 @@ preload: 1
 
     from gssdf_tpu.config import load_config
     from gssdf_tpu.train.pipeline import Pipeline
+    from gssdf_tpu.utils.compile_cache import enable_compilation_cache
     from gssdf_tpu.utils.llog import LLOG
 
-    cfg = load_config(cfg_dir / "run.yaml", root, make_run_dir=True)
+    enable_compilation_cache()
+    if args.resume:
+        cfg = load_config(cfg_dir / "run.yaml", root, make_run_dir=False)
+        cfg.output_path = str(Path(args.resume))
+        cfg.model_path = str(Path(args.resume) / "model")
+    else:
+        cfg = load_config(cfg_dir / "run.yaml", root, make_run_dir=True)
     print("run dir:", cfg.output_path)
     pipe = Pipeline(cfg)
 
     t0 = time.time()
-    pipe.build_occ_map()
-    t_occ = time.time()
-    pipe.nsdf_train()
-    t_sdf = time.time()
-    pipe.export_checkpoint()
-    pipe.init_gs()
-    t_init = time.time()
-    pipe.gs_train()
+    if args.resume:
+        # outage recovery: deterministic data-side rebuild + checkpoint +
+        # mid-GS-phase snapshot (timings of resumed stages are partial)
+        pipe.build_occ_map()
+        t_occ = time.time()
+        pipe.load_checkpoint(Path(cfg.model_path))
+        start = pipe.load_gs_resume()
+        t_sdf = t_init = time.time()
+        if start is not None and start < cfg.gs_iter_step:
+            print(f"resuming joint GS phase at iteration {start}")
+            pipe.gs_train(start_iter=start)
+        elif start is None:
+            if pipe.gs_state is None:
+                pipe.init_gs()
+                t_init = time.time()
+            pipe.gs_train()
+    else:
+        pipe.build_occ_map()
+        t_occ = time.time()
+        pipe.nsdf_train()
+        t_sdf = time.time()
+        pipe.export_checkpoint()
+        pipe.init_gs()
+        t_init = time.time()
+        pipe.gs_train()
     t_gs = time.time()
     pipe.end()
     t_end = time.time()
@@ -267,7 +294,7 @@ preload: 1
     summary = list(ev.values())[0]
 
     lines = [
-        "# RESULTS r02 — reference-budget synthetic-room validation",
+        f"# {Path(args.out).stem} — reference-budget synthetic-room validation",
         "",
         "Scene: procedurally ray-traced room (wall/floor/2 spheres/box),"
         f" {args.frames} frames at {W}x{H}; analytic GT surfaces for chamfer.",

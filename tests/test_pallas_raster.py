@@ -108,7 +108,7 @@ def _entries_from_scene(n=60, seed=7, tile_cap=128, tile_expand=32):
     means, quats, scales, opac, colors = _scene(n, seed)
     p = project_2dgs(means, quats, scales, EYE4, K, W, H, 0.01, 100.0)
     tiles_x = -(-W // 16)
-    tile_lists, _, _, _ = tile_encode(
+    tile_lists, _, _, _, _ = tile_encode(
         p.means2d, p.radii, p.depths, p.valid, W, H, 16, tile_cap,
         tile_expand,
     )

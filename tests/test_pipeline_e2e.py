@@ -119,6 +119,19 @@ def test_checkpoint_written(run_dir):
     assert (out / "model" / "as_occ_prior.ply").exists()
 
 
+def test_tile_cap_drops_invisible(run_dir):
+    """The transmittance-weighted drop bound must be negligible at the e2e
+    operating point: fixed tile capacity may shed raw entries (drop_frac),
+    but only behind a saturated prefix (drop_vis ~ 0). Guards the round-2
+    regression where 40% of entries were silently dropped at scale."""
+    out, _pipe = run_dir
+    log = (out / "gs_log.txt").read_text().strip().splitlines()
+    cols = log[0].split()
+    assert "drop_vis" in cols, cols
+    last = dict(zip(cols, log[-1].split()))
+    assert float(last["drop_vis"]) < 0.05, last
+
+
 def test_mesh_written_and_planar(run_dir):
     out, pipe = run_dir
     meshes = list((out / "mesh").glob("*.ply"))
@@ -213,3 +226,96 @@ def test_pipeline_mesh_train(run_dir, tmp_path_factory):
     assert int(jnp.sum(pipe2.gs_state.alive)) > 0
     pipe2.export_checkpoint()
     assert (Path(cfg2.model_path) / "gs.ply").exists()
+
+
+def test_gs_resume_matches_uninterrupted(tmp_path_factory):
+    """Mid-GS-phase resume: an interrupted run continued via gs_resume.npz
+    must produce the same final state as an uninterrupted run — the RNG
+    stream, frame schedule, refine schedule, Adam moments, and densify
+    stats all pick up where they left off. Outage-proofing for
+    reference-budget validation runs (VERDICT r02 item 1)."""
+    import jax
+    import jax.numpy as jnp
+
+    root = tmp_path_factory.mktemp("resume_scene")
+    _make_dataset(root, n_frames=4)
+    cfg_dir = tmp_path_factory.mktemp("resume_cfg")
+    (cfg_dir / "run.yaml").write_text(
+        """
+dataset_type: 0
+sdf_iter_step: 40
+gs_iter_step: 24
+leaf_sizes: 0.2
+max_pt_num: 2000
+gs_capacity: 4096
+map:
+  map_size: 8
+res_scale: 0.04
+ds_pt_num: 1000
+batch_pt_num: 1024
+n_levels: 3
+log2_hashmap_size: 12
+base_resolution: 8
+per_level_scale: 1.6
+hidden_dim: 16
+geo_num_layer: 2
+sh_degree: 0
+refine_start_iter: 4
+refine_every: 6
+export_interval: 0
+tile_cap: 256
+sky_init: 0
+mesh_init: 0
+color_init: 1
+vis_frame_step: 1000
+raymarch_max_hits: 4
+raymarch_max_steps: 128
+"""
+    )
+
+    from gssdf_tpu.train.pipeline import Pipeline
+
+    def fresh_cfg(out_name):
+        out_root = tmp_path_factory.mktemp(out_name)
+        cfg = load_config(cfg_dir / "run.yaml", root, make_run_dir=False)
+        cfg.output_path = str(out_root / "run")
+        cfg.model_path = str(out_root / "run" / "model")
+        Path(cfg.model_path).mkdir(parents=True)
+        return cfg
+
+    def common_prefix(cfg):
+        pipe = Pipeline(cfg)
+        pipe.build_occ_map()
+        pipe.nsdf_train()
+        pipe.export_checkpoint()
+        pipe.init_gs()
+        return pipe
+
+    # reference run: uninterrupted 24-iteration joint phase WITH the
+    # production snapshot cadence — the in-loop export_gs_resume leaves
+    # model/gs_resume.npz behind (last write at iteration 16 -> 17)
+    cfg_ref = fresh_cfg("ref")
+    cfg_ref.resume_interval = 8
+    pipe_ref = common_prefix(cfg_ref)
+    pipe_ref.gs_train(iters=24)
+    assert (Path(cfg_ref.model_path) / "gs_resume.npz").exists()
+
+    # 'outage': a FRESH pipeline (new-process analog) picks up that very
+    # snapshot and finishes the phase; it must land on the identical state
+    pipe_b = Pipeline(cfg_ref)
+    pipe_b.build_occ_map()
+    pipe_b.load_checkpoint(cfg_ref.model_path)
+    start = pipe_b.load_gs_resume()
+    assert start == 17
+    pipe_b.gs_train(iters=24, start_iter=start)
+
+    assert int(jnp.sum(pipe_b.gs_state.alive)) == int(
+        jnp.sum(pipe_ref.gs_state.alive)
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(pipe_ref.gs_state),
+        jax.tree_util.tree_leaves(pipe_b.gs_state),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6
+        )

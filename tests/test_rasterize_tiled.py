@@ -83,7 +83,7 @@ def test_tile_encode_clamp_frac_reports_small_bucket_clamping():
 def test_tile_encode_lists_are_front_to_back():
     means, quats, scales, opac, colors = _random_scene(40)
     p = _proj(means, quats, scales)
-    lists, counts, _drop, _clamp = tile_encode(
+    lists, counts, _drop, _clamp, _raw = tile_encode(
         p.means2d, p.radii, p.depths, p.valid, W, H, 16, 64, 64
     )
     n = means.shape[0]
@@ -203,7 +203,7 @@ def test_tile_encode_all_invalid_and_tiny_n():
         depths = jnp.ones((n,))
         radii = jnp.full((n,), 5.0)
         valid = jnp.zeros((n,), bool)
-        lists, counts, drop, clamp = tile_encode(
+        lists, counts, drop, clamp, _raw = tile_encode(
             means2d, radii, depths, valid, W, H, 16, 16, 16,
             tile_expand_small=4,
         )
@@ -225,7 +225,7 @@ def test_tile_encode_rank_quantization_large_n():
     depths = jnp.asarray(rng.uniform(1.0, 9.0, n).astype(np.float32))
     radii = jnp.full((n,), 4.0, jnp.float32)
     valid = jnp.asarray(np.arange(n) < 128)      # only 128 real splats
-    lists, counts, drop, clamp = tile_encode(
+    lists, counts, drop, clamp, _raw = tile_encode(
         means2d, radii, depths, valid, W2, H2, 16, 128, 4,
     )
     li = np.asarray(lists)
@@ -260,3 +260,62 @@ def test_need_vis_false_skips_reduction_but_keeps_images():
     assert np.asarray(a["visibilities"]).max() > 0
     assert np.asarray(b["visibilities"]).max() == 0
     assert np.asarray(b["binned"]).all()
+
+
+def test_circle_rect_cull_drops_corner_tiles():
+    """A splat centered in a tile with radius barely past the tile edge:
+    the bbox window spans 3x3 tiles but the circle only reaches the 4 edge
+    neighbors — the 4 corner tiles must be culled at emit time."""
+    # center of tile (2, 2) in a 16px grid; radius 18px touches edge
+    # neighbors (distance-to-rect 8px) but not corner tiles (~11.3px from
+    # center to the nearest corner-rect point... use radius to make it
+    # unambiguous: corner rect min distance = sqrt(8^2+8^2) = 11.31 < 18?
+    # yes — so pick radius between 8 and 11.3
+    means2d = jnp.array([[40.0, 40.0]], jnp.float32)
+    radii = jnp.array([10.0], jnp.float32)
+    depths = jnp.array([1.0], jnp.float32)
+    valid = jnp.array([True])
+    lists, counts, _d, _c, _raw = tile_encode(
+        means2d, radii, depths, valid, W, H, 16, 16, 16
+    )
+    cnt = np.asarray(counts).reshape(3, 4)     # tiles_y=3, tiles_x=4
+    # edge neighbors + center binned
+    assert cnt[2, 2] == 1 and cnt[1, 2] == 1 and cnt[2, 1] == 1
+    # corner tiles culled (distance to rect 11.31 > 10)
+    assert cnt[1, 1] == 0 and cnt[1, 3] == 0
+
+
+def test_drop_vis_zero_when_saturated_nonzero_when_translucent():
+    """drop_vis = transmittance-weighted drop bound. Overflowing a tile with
+    OPAQUE front splats must report drop_vis ~ 0 (the drops composite behind
+    a saturated prefix); overflowing with near-transparent splats must
+    report drop_vis ~ drop_frac (the drops were still visible)."""
+    n, cap = 48, 16
+    means2d = jnp.tile(jnp.array([[8.0, 8.0]], jnp.float32), (n, 1))
+    M = jnp.tile(
+        (jnp.diag(jnp.array([6.0, 6.0, 1.0])).at[0, 2].set(8.0)
+         .at[1, 2].set(8.0))[None],
+        (n, 1, 1),
+    ).astype(jnp.float32)
+    depths = jnp.arange(n, dtype=jnp.float32) + 1.0
+    normals = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (n, 1))
+    colors = jnp.ones((n, 3), jnp.float32)
+    valid = jnp.ones((n,), bool)
+    radii = jnp.full((n,), 6.0, jnp.float32)
+
+    def render(opac):
+        return rasterize_tiled(
+            means2d, M, depths, normals, colors, opac, valid, radii,
+            W, H, tile_cap=cap, tile_expand=4, impl="xla",
+        )
+
+    res_opaque = render(jnp.full((n,), 0.99, jnp.float32))
+    res_clear = render(jnp.full((n,), 1e-3, jnp.float32))
+    drop_o = float(res_opaque["drop_frac"])
+    assert drop_o > 0.3                      # the cap really overflowed
+    # mean-over-tile T includes pixels the splats don't cover, so the bound
+    # isn't exactly 0 — but it must be orders of magnitude below drop_frac
+    assert float(res_opaque["drop_vis"]) < 0.01 * drop_o
+    drop_c = float(res_clear["drop_frac"])
+    vis_c = float(res_clear["drop_vis"])
+    assert vis_c > 0.8 * drop_c              # translucent drops stay visible
