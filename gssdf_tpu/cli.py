@@ -189,7 +189,10 @@ def cmd_render(args):
         settings = RenderSettings(
             width=cam.width, height=cam.height,
             near=pipe.cfg.near, far=pipe.cfg.far,
-            sh_degree=pipe.cfg.sh_degree, tile_cap=pipe.cfg.tile_cap,
+            sh_degree=pipe.cfg.sh_degree,
+            tile_cap=pipe.cfg.eval_tile_cap,
+            tile_expand=pipe.cfg.eval_tile_expand,
+            tile_expand_small=pipe.cfg.eval_tile_expand_small,
         )
         out = render_splats(
             splat_model(pipe.gs_state), jnp.asarray(pose),

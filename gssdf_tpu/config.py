@@ -208,6 +208,15 @@ class Config:
     tile_cap: int = 512                 # max splats composited per tile
     tile_expand: int = 64               # per-splat tile-entry budget (big)
     tile_expand_small: int = 8          # small-bucket budget; 0 disables
+    # eval/export renders use EXACT settings (the reference's lists are
+    # unbounded; train-time caps/windows are a TPU static-shape adaptation
+    # whose error training absorbs, but exported images must not carry it).
+    # Chip-measured at 270k splats/1200x680: (2048, 256, 16) renders 70 dB
+    # close to a fully-unbounded reference at 372 ms/frame, vs 29 dB for
+    # the train settings (clamped windows on a few giant splats dominate).
+    eval_tile_cap: int = 2048
+    eval_tile_expand: int = 256
+    eval_tile_expand_small: int = 16
     raymarch_max_hits: int = 8
     raymarch_max_steps: int = 512
     dtype_compute: str = "float32"

@@ -121,9 +121,13 @@ def make_multicam_gs_train_step(
         # key derivation mirrors the single-device step (train/gs.py) so a
         # B=1 multicam step is BIT-IDENTICAL to the single step — the
         # multicam-vs-single parity test relies on this
-        krender, ksamp, kreg, kreg_gs, kreg_num = jax.random.split(key, 5)
+        (krender, ksamp, kreg, kreg_gs, kreg_num,
+         kreg_sel) = jax.random.split(key, 6)
         cam_keys = (
             krender[None] if b == 1 else jax.random.split(krender, b)
+        )
+        sel_keys = (
+            kreg_sel[None] if b == 1 else jax.random.split(kreg_sel, b)
         )
         rsettings = spec.render._replace(sh_degree=sh_active)
 
@@ -178,7 +182,7 @@ def make_multicam_gs_train_step(
                 and not spec.sdf.numerical_grad
             )
 
-            def per_cam(gt, pose, pdel, ck, creg):
+            def per_cam(gt, pose, pdel, ck, creg, csel):
                 render = render_splats(
                     model, pose, K, rsettings, training=True, key=ck,
                     pix_delta=pdel, center_reg=spec.center_reg,
@@ -205,12 +209,12 @@ def make_multicam_gs_train_step(
                         & state.alive
                     )
                     if 0 < spec.gs_sdf_budget < x_gs.shape[0]:
-                        # visible-first static compaction, same as the
+                        # visible-first static compaction with random
+                        # tiebreak within the visible set, same as the
                         # single-device step (train/gs.py)
                         n_vis = jnp.sum(m)
-                        order = jnp.argsort(
-                            jnp.where(m, 0, 1).astype(jnp.int32)
-                        )
+                        u = jax.random.uniform(csel, (x_gs.shape[0],))
+                        order = jnp.argsort(jnp.where(m, u, 1.0 + u))
                         ids = jax.lax.stop_gradient(
                             order[: spec.gs_sdf_budget]
                         )
@@ -267,7 +271,7 @@ def make_multicam_gs_train_step(
             )
             gs_losses_b, img_aux_b, gs_sdf_b, sdf_cam_b, meta_b = jax.vmap(
                 per_cam
-            )(gt_images, poses, pix_delta_b, cam_keys, reg_keys)
+            )(gt_images, poses, pix_delta_b, cam_keys, reg_keys, sel_keys)
             gs_loss = jnp.mean(gs_losses_b)
             aux.update({k: jnp.mean(v) for k, v in img_aux_b.items()})
             if spec.gs_sdf_reg and "gs_sdf" in gs_sdf_b:

@@ -262,7 +262,8 @@ def make_gs_train_step(
         # independent keys per random consumer: ray-side regularizers,
         # splat-side align, numerical-fallback subset (sharing one key
         # correlates their subset indices / probe directions)
-        krender, ksamp, kreg, kreg_gs, kreg_num = jax.random.split(key, 5)
+        (krender, ksamp, kreg, kreg_gs, kreg_num,
+         kreg_sel) = jax.random.split(key, 6)
         rsettings = spec.render._replace(sh_degree=sh_active)
 
         joint_sdf = spec.gs_sdf_reg and not spec.detach_sdf_grad
@@ -354,8 +355,15 @@ def make_gs_train_step(
                     # gather then scales with the budget, not the splat
                     # CAPACITY. Overflow beyond the budget is dropped and
                     # reported (gs_sdf_overflow), like the tile_cap
-                    # telemetry.
-                    order = jnp.argsort(jnp.where(m, 0, 1).astype(jnp.int32))
+                    # telemetry. Random tiebreak WITHIN the visible set:
+                    # a stable visible-first order would regularize the
+                    # same low-index splats every iteration and never
+                    # touch the rest; rotating the subset covers all
+                    # visible splats over iterations (the reference
+                    # evaluates every visible splat each iter,
+                    # neural_mapping.cpp:433-438).
+                    u = jax.random.uniform(kreg_sel, (c,))
+                    order = jnp.argsort(jnp.where(m, u, 1.0 + u))
                     ids = jax.lax.stop_gradient(
                         order[: spec.gs_sdf_budget]
                     )

@@ -676,6 +676,13 @@ class Pipeline:
     # -- rendering / export ------------------------------------------------
 
     def render_settings(self, scale: float = 1.0) -> RenderSettings:
+        """EXACT-render settings for eval/export images: larger tile cap +
+        full bbox windows (cfg.eval_tile_*). Train-time caps/windows are a
+        static-shape adaptation whose truncation training absorbs; exported
+        images must match the reference's unbounded lists
+        (neural_gaussian.cpp:207-223). Chip-validated: 70 dB vs an
+        unbounded render at the 270k-splat point (vs 29 dB with train
+        settings)."""
         cam = self.loader.camera.scaled(scale) if self.loader else None
         cfg = self.cfg
         return RenderSettings(
@@ -685,9 +692,9 @@ class Pipeline:
             far=cfg.far,
             sh_degree=cfg.sh_degree,
             tile_size=cfg.tile_size,
-            tile_cap=cfg.tile_cap,
-            tile_expand=cfg.tile_expand,
-            tile_expand_small=cfg.tile_expand_small,
+            tile_cap=cfg.eval_tile_cap,
+            tile_expand=cfg.eval_tile_expand,
+            tile_expand_small=cfg.eval_tile_expand_small,
             bck_color=cfg.bck_color,
         )
 

@@ -222,6 +222,7 @@ batch_pt_num: 32768
 res_scale: 1.0
 leaf_sizes: 0.05
 tile_cap: 512
+gs_sdf_budget: 32768
 export_resolution: 0.02
 """
     (cfg_dir / "run.yaml").write_text(f"""
