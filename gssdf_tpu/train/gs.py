@@ -151,6 +151,46 @@ def rebucket_gs_state(state: GSState, new_capacity: int) -> GSState:
     )
 
 
+def compact_gs_state(state: GSState, new_capacity: int) -> GSState:
+    """SHRINK the splat store: stable alive-first compaction, truncated to
+    ``new_capacity`` — the symmetric counterpart of rebucket_gs_state.
+
+    No reference analog (torch tensors are exactly-sized every refine); in
+    the bucketed static-shape design a store that initialized huge (e.g.
+    mesh-init anchors) and then pruned hard keeps paying its high-water
+    CAPACITY in every per-splat op — projection, SH, tile-entry emission,
+    Adam — forever. Chip-measured: a 1.23M-vertex mesh init pruned to
+    ~380k alive still stepped at the 1.38M-capacity cost (~1 s/iter).
+
+    Live rows keep params, Adam moments, and densify statistics verbatim
+    (their relative order is preserved — the argsort is stable); dead rows
+    past the cut are discarded."""
+    c = state.alive.shape[0]
+    if new_capacity >= c:
+        return state
+    order = jnp.argsort(jnp.where(state.alive, 0, 1).astype(jnp.int32))
+    take = order[:new_capacity]
+    g = lambda x: x[take]
+    params = {
+        "sdf": state.params["sdf"],
+        "gs": jax.tree_util.tree_map(g, state.params["gs"]),
+    }
+    opt = AdamState(
+        step=state.opt.step,
+        mu={"sdf": state.opt.mu["sdf"],
+            "gs": jax.tree_util.tree_map(g, state.opt.mu["gs"])},
+        nu={"sdf": state.opt.nu["sdf"],
+            "gs": jax.tree_util.tree_map(g, state.opt.nu["gs"])},
+    )
+    return GSState(
+        params=params,
+        anchors=g(state.anchors),
+        alive=g(state.alive),
+        opt=opt,
+        dstate=jax.tree_util.tree_map(g, state.dstate),
+    )
+
+
 def splat_model(state: GSState) -> SplatModel:
     return SplatModel(
         params=state.params["gs"], anchors=state.anchors, alive=state.alive
@@ -657,22 +697,36 @@ class GSTrainer:
                     )
                     if new_cap > cap:
                         state = rebucket_gs_state(state, new_cap)
-                        if self.mesh is not None:
-                            # re-replicate: the host-level concat can land
-                            # on one device; the sharded step expects the
-                            # replicated layout
-                            from jax.sharding import (
-                                NamedSharding,
-                                PartitionSpec,
-                            )
-
-                            state = jax.device_put(
-                                state,
-                                NamedSharding(self.mesh, PartitionSpec()),
-                            )
+                        state = self._rereplicate(state)
                         info["rebucket"] = new_cap
+                elif n_alive < 0.4 * cap:
+                    # SHRINK after heavy pruning: the store keeps paying
+                    # its high-water capacity in every per-splat op (a
+                    # mesh-init store pruned 1.23M -> 380k alive stepped
+                    # 3.4x slower than needed). Finer quantum than grow so
+                    # small test stores can shrink too; >= 2x hysteresis
+                    # against grow (which re-fires at 90% saturation).
+                    new_cap = bucket_capacity(
+                        n_alive, quantum=min(1 << 16, max(cap // 8, 64))
+                    )
+                    if new_cap <= cap // 2:
+                        state = compact_gs_state(state, new_cap)
+                        state = self._rereplicate(state)
+                        info["shrink"] = new_cap
 
         if _crossed(iter_num, stride, spec.reset_every):
             state = self.reset_fn(state)
             info["opacity_reset"] = 1
         return state, info
+
+    def _rereplicate(self, state: GSState) -> GSState:
+        """After a shape-changing rebucket/shrink: the host-level reshape
+        can land on one device; the sharded step expects the replicated
+        layout."""
+        if self.mesh is None:
+            return state
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        return jax.device_put(
+            state, NamedSharding(self.mesh, PartitionSpec())
+        )

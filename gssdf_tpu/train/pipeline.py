@@ -119,6 +119,7 @@ class Pipeline:
         self.spatial_scale = 1.0
         self._keys = _KeyWatcher()
         self._stop = False             # 'q' keyboard command
+        self._render_scale = 1.0       # 'd'/'s' keyboard commands
         self._render_jit = jax.jit(
             render_splats, static_argnames=("settings", "training", "center_reg")
         )
@@ -641,10 +642,60 @@ class Pipeline:
             elif c == "r":
                 for split in ("train", "eval"):
                     self.render_path(split)
+            elif c == "e":
+                # eval_mesh + eval_render (neural_mapping.cpp:1508-1511)
+                self._keyboard_eval()
+            elif c == "v":
+                # render-speed test + timing dump (case 'v', :1571-1575)
+                import time as _time
+
+                t0 = _time.perf_counter()
+                n = 0
+                for k in range(min(8, self.loader.num_train)):
+                    _, pose = self.loader.train_frame(k)
+                    self.render_image(pose, scale=self._render_scale)
+                    n += 1
+                dt = (_time.perf_counter() - t0) / max(n, 1)
+                print(f"render speed: {dt * 1e3:.1f} ms/frame "
+                      f"({1.0 / max(dt, 1e-9):.1f} fps)")
+                print(LLOG.timing_summary())
+            elif c in ("d", "s"):
+                # double / halve render resolution (cases 'd'/'s',
+                # :1576-1607) — a scale factor on the eval camera here
+                # (the train camera's static shapes must not change mid-jit)
+                self._render_scale *= 2.0 if c == "d" else 0.5
+                cam = self.loader.camera.scaled(self._render_scale)
+                print(f"render resolution -> {cam.width}x{cam.height}")
+            elif c in ("n", "b"):
+                # near-plane nudge (cases 'n'/'b', :1632-1643)
+                self.cfg.near *= 1.2 if c == "n" else 0.8
+                print(f"near -> {self.cfg.near:.4f}")
             else:
-                print(f"unknown command {c!r} (m/o/i/r/q)")
+                print(
+                    "commands: m [res] mesh | e eval mesh+render | o ckpt |"
+                    " i/p [idx] test image | r render paths | v speed test |"
+                    " d/s double/halve render res | n/b near +/- | q stop"
+                )
         except Exception as e:
             print(f"command {c!r} failed: {e}")
+
+    def _keyboard_eval(self):
+        """eval_mesh + eval_render on demand (keyboard 'e')."""
+        cfg = self.cfg
+        if cfg.sdf_weight > 0 and cfg.export_mesh:
+            verts, faces, _ = self.save_mesh(cfg.export_resolution)
+            gt = getattr(self.loader.parser, "gt_mesh_path", None)
+            if gt is not None and Path(gt).exists() and len(faces):
+                from ..eval.mesh_metrics import eval_mesh
+                from ..utils.ply import read_ply_xyz
+
+                m = eval_mesh(verts, faces, read_ply_xyz(gt))
+                print("mesh eval:", {k: round(v, 3) for k, v in m.items()})
+        base = self.render_path("train", scale=self._render_scale)
+        if base is not None:
+            from ..eval.image_metrics import evaluate_dirs
+
+            print("render eval:", evaluate_dirs(base))
 
     def _poll_keys(self):
         cmd = self._keys.poll()

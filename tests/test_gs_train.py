@@ -469,3 +469,88 @@ def test_trainer_rebuckets_on_saturation(scene):
     assert grew > 128, grew                  # quantum scales to the store
     assert state.alive.shape[0] == grew
     assert np.isfinite(float(aux["loss"]))
+
+
+def test_shrink_preserves_state_and_renders(scene):
+    """Capacity SHRINK after heavy pruning: live rows' params/moments/
+    densify stats survive verbatim (stable alive-first compaction) and the
+    compacted store renders the identical image."""
+    from gssdf_tpu.train.gs import compact_gs_state
+
+    gt, poses, gts = scene
+    spec = _spec(gs_sdf_reg=False)
+    state = _init_state(scene, spec, capacity=256)
+    # kill every other live splat so compaction has holes to close
+    alive = np.asarray(state.alive).copy()
+    live_idx = np.where(alive)[0]
+    alive[live_idx[::2]] = False
+    state = state._replace(
+        alive=jnp.asarray(alive),
+        opt=state.opt._replace(
+            mu=jax.tree_util.tree_map(lambda x: x + 0.25, state.opt.mu)
+        ),
+    )
+    n_alive = int(alive.sum())
+
+    small = compact_gs_state(state, 64)
+    assert small.alive.shape[0] == 64
+    assert int(jnp.sum(small.alive)) == n_alive
+    # surviving rows keep params + moments verbatim, in original order
+    keep = np.where(alive)[0]
+    np.testing.assert_array_equal(
+        np.asarray(small.params["gs"].scaling[:n_alive]),
+        np.asarray(state.params["gs"].scaling)[keep],
+    )
+    np.testing.assert_array_equal(
+        np.asarray(small.opt.mu["gs"].opacity[:n_alive]),
+        np.asarray(state.opt.mu["gs"].opacity)[keep],
+    )
+
+    settings = RenderSettings(width=W, height=H, tile_cap=64, tile_expand=16)
+    a = render_splats(splat_model(state), poses[0], jnp.asarray(CAM.K),
+                      settings, training=False)
+    b = render_splats(splat_model(small), poses[0], jnp.asarray(CAM.K),
+                      settings, training=False)
+    np.testing.assert_allclose(
+        np.asarray(a["color"]), np.asarray(b["color"]), atol=1e-6
+    )
+
+
+def test_trainer_shrinks_after_prune(scene):
+    """A store pruned far below capacity must shrink its bucket at the next
+    refine event (hysteresis: only when the new bucket is <= cap/2) and
+    keep training at the new shape."""
+    gt, poses, gts = scene
+    spec = _spec(
+        gs_sdf_reg=False, render_normal_weight=0.0,
+        refine_start_iter=1, refine_every=2, reset_every=10**6,
+        rebucket_sat=0.9,
+    )
+    geom = MapGeometry(origin=(0.0, 0.0, 2.0), map_size=4.0)
+    grid = build_occupancy_grid(np.asarray(gt.anchors), geom, 32)
+    trainer = GSTrainer(spec, geom, grid, CAM)
+    state = _init_state(scene, spec, capacity=512)
+    # prune to 24 alive: bucket_capacity(24, q=64) = 64 <= 512/2
+    alive = np.asarray(state.alive).copy()
+    live = np.where(alive)[0]
+    alive[live[24:]] = False
+    state = state._replace(alive=jnp.asarray(alive))
+
+    r = spec.sdf.batch_rays
+    rays = (jnp.zeros((r, 3)),
+            jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (r, 1)),
+            jnp.full((r, 1), 2.0))
+
+    shrunk = 0
+    for i in range(1, 7):
+        state, aux = trainer.step_fn(
+            state, gts[i % 2], poses[i % 2], *rays,
+            jax.random.PRNGKey(i), 0.05, 0.0, 1.6e-3, 0, True,
+        )
+        if shrunk:
+            break
+        state, rinfo = trainer.callback(state, i, jax.random.PRNGKey(50 + i))
+        shrunk = rinfo.get("shrink", 0)
+    assert 0 < shrunk < 512, shrunk
+    assert state.alive.shape[0] == shrunk
+    assert np.isfinite(float(aux["loss"]))

@@ -319,3 +319,20 @@ raymarch_max_steps: 128
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-6
         )
+
+
+def test_keyboard_commands(run_dir):
+    """Keyboard command breadth (keyboard_loop, neural_mapping.cpp:
+    1482-1684): near nudges, render-resolution scaling, speed test, help."""
+    out, pipe = run_dir
+    near0 = pipe.cfg.near
+    pipe._handle_key("n")
+    assert pipe.cfg.near == pytest.approx(near0 * 1.2)
+    pipe._handle_key("b")
+    pipe._handle_key("d")
+    assert pipe._render_scale == 2.0
+    pipe._handle_key("s")
+    assert pipe._render_scale == 1.0
+    pipe._handle_key("v")       # speed test must not raise
+    pipe._handle_key("zzz")     # help path must not raise
+    assert not pipe._stop
