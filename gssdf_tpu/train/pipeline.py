@@ -670,6 +670,16 @@ class Pipeline:
                 # near-plane nudge (cases 'n'/'b', :1632-1643)
                 self.cfg.near *= 1.2 if c == "n" else 0.8
                 print(f"near -> {self.cfg.near:.4f}")
+            elif c == "g":
+                # save inrange pointcloud (reference help text 'g')
+                if self.cfg.output_path and self.pack_dev is not None:
+                    xyz = np.asarray(
+                        self.pack_dev["origin"]
+                        + self.pack_dev["direction"] * self.pack_dev["depth"]
+                    )
+                    p = Path(self.cfg.output_path) / "inrange_points.ply"
+                    write_ply_xyz(p, xyz)
+                    print(f"saved {len(xyz)} points -> {p}")
             else:
                 print(
                     "commands: m [res] mesh | e eval mesh+render | o ckpt |"

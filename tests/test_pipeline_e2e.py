@@ -333,6 +333,51 @@ def test_keyboard_commands(run_dir):
     assert pipe._render_scale == 2.0
     pipe._handle_key("s")
     assert pipe._render_scale == 1.0
+    pipe._handle_key("g")       # inrange pointcloud
+    assert (out / "inrange_points.ply").exists()
     pipe._handle_key("v")       # speed test must not raise
     pipe._handle_key("zzz")     # help path must not raise
     assert not pipe._stop
+
+
+def test_cli_render_command(run_dir, tmp_path):
+    """CLI `render <run_dir> <poses> --camera-spec` end to end
+    (render mode, neural_mapping.cpp:1108-1200): loads the checkpoint,
+    renders along the pose file with exact eval settings, writes PNGs."""
+    out, pipe = run_dir
+    poses = tmp_path / "poses.txt"
+    rows = []
+    for dx in (-0.05, 0.0, 0.05):
+        p = np.eye(4)
+        p[0, 3] = dx
+        rows.extend(" ".join(map(str, r)) for r in p)  # 4 lines / pose
+    poses.write_text("\n".join(rows) + "\n")
+    cam = pipe.loader.camera
+    spec = tmp_path / "spec.txt"
+    spec.write_text(
+        "render_camera_spec_v1\n"
+        f"{cam.width} {cam.height} {cam.fx} {cam.fy} {cam.cx} {cam.cy}\n"
+    )
+    render_out = tmp_path / "path_out"
+
+    # real CLI runs copy the config into the run dir (load_config
+    # make_run_dir=True); the fixture bypasses that — provide it
+    cfg_copy = out / "model" / "config"
+    cfg_copy.mkdir(parents=True, exist_ok=True)
+    import shutil
+
+    shutil.copy(pipe.cfg.config_path, cfg_copy / "run.yaml")
+
+    from gssdf_tpu.cli import main
+
+    main([
+        "render", str(out), str(poses),
+        "--camera-spec", str(spec), "--out", str(render_out),
+        "--interpolate", "2",
+    ])
+    colors = sorted((render_out / "color").glob("*.png"))
+    depths = sorted((render_out / "depth").glob("*.png"))
+    assert len(colors) == len(depths) == 6
+    img = cv2.imread(str(colors[0]))
+    assert img is not None and img.shape == (cam.height, cam.width, 3)
+    assert img.max() > 0        # the trained wall is visible, not black
