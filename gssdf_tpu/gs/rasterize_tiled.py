@@ -381,6 +381,14 @@ def rasterize_tiled(
         )
         out_t, wm = tile_composite(entries_t, tiles_x, tile_size)
         outs = jnp.swapaxes(out_t[:, :10, :], -1, -2)      # [T, ts2, 10]
+        # chunk-skip hit rate: wm row 1 is the kernel's per-chunk active
+        # flag (1 = composited, 0 = skipped as all-sentinel/saturated).
+        # Telemetry for how often the CUDA-style early stop actually fires.
+        from ..ops.pallas.raster import CHUNK
+
+        chunk_active = jnp.mean(
+            wm[:, 1, :].reshape(num_tiles, -1, CHUNK)[:, :, 0]
+        )
         # ONE segment-max of (w + 1) yields BOTH the per-splat visibility
         # (max w) and list membership: m = max(w)+1 for splats with >= 1
         # tile entry, 0 otherwise. Replaces a separate 825k-row bool
@@ -447,6 +455,7 @@ def rasterize_tiled(
         else:
             vis_m = jnp.ones((n + 1,), jnp.float32)
         outs = outs.reshape(nb * tile_batch, ts2, -1)[:num_tiles]
+        chunk_active = jnp.float32(1.0)     # XLA scan path has no skip
 
     # Transmittance-weighted drop bound: entries beyond the cap would have
     # composited AFTER the kept front-to-back prefix, so per pixel their
@@ -489,4 +498,5 @@ def rasterize_tiled(
         "drop_frac": drop_frac,
         "drop_vis": drop_vis,
         "clamp_frac": clamp_frac,
+        "chunk_active": chunk_active,
     }

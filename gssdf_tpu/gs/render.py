@@ -158,5 +158,6 @@ def render_splats(
         "radii": proj.radii,
         "drop_frac": res["drop_frac"],
         "drop_vis": res["drop_vis"],
+        "chunk_active": res["chunk_active"],
         "clamp_frac": res["clamp_frac"],
     }

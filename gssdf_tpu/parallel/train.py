@@ -197,6 +197,9 @@ def make_multicam_gs_train_step(
                 img_aux["drop_vis"] = jax.lax.stop_gradient(
                     render["drop_vis"]
                 )
+                img_aux["chunk_active"] = jax.lax.stop_gradient(
+                    render["chunk_active"]
+                )
                 gs_sdf_terms = {}
                 sdf_cam = 0.0
                 if spec.gs_sdf_reg:

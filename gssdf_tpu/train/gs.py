@@ -375,6 +375,9 @@ def make_gs_train_step(
             # tile-cap telemetry (no reference analog: CUDA lists unbounded)
             aux["drop_frac"] = jax.lax.stop_gradient(render["drop_frac"])
             aux["drop_vis"] = jax.lax.stop_gradient(render["drop_vis"])
+            aux["chunk_active"] = jax.lax.stop_gradient(
+                render["chunk_active"]
+            )
             aux["clamp_frac"] = jax.lax.stop_gradient(render["clamp_frac"])
 
             # GS->SDF mutual consistency (neural_mapping.cpp:420-462)

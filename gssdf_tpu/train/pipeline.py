@@ -518,7 +518,8 @@ class Pipeline:
         # features) are dropped by Llog.flash's cols filter
         gs_cols = (
             "gs_loss", "color", "dssim", "sdf_nn_loss", "gs_eik", "sstd",
-            "gs_sdf", "drop_frac", "drop_vis", "clamp_frac", "gs_sdf_ovf",
+            "gs_sdf", "drop_frac", "drop_vis", "chunk_active", "clamp_frac",
+            "gs_sdf_ovf",
             "gs_num",
             "psnr", "host_rss_gb", "device_gb", "device_peak_gb",
         )
@@ -575,6 +576,8 @@ class Pipeline:
                     LLOG.record("drop_frac", float(aux["drop_frac"]))
                 if "drop_vis" in aux:
                     LLOG.record("drop_vis", float(aux["drop_vis"]))
+                if "chunk_active" in aux:
+                    LLOG.record("chunk_active", float(aux["chunk_active"]))
                 if "clamp_frac" in aux:
                     LLOG.record("clamp_frac", float(aux["clamp_frac"]))
                 if "gs_sdf_overflow" in aux:
