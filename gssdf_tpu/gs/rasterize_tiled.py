@@ -379,7 +379,11 @@ def rasterize_tiled(
             ),
             -1, -2,
         )
-        out_t, wm = tile_composite(entries_t, tiles_x, tile_size)
+        # kt tiles per composite grid step (GSSDF_RASTER_KT, default 1):
+        # identical per-tile math/skip, amortized step overhead — opt-in
+        # until chip-validated (the raster_v2 rule)
+        kt = int(os.environ.get("GSSDF_RASTER_KT", "1"))
+        out_t, wm = tile_composite(entries_t, tiles_x, tile_size, kt)
         outs = jnp.swapaxes(out_t[:, :10, :], -1, -2)      # [T, ts2, 10]
         # chunk-skip hit rate: wm row 1 is the kernel's per-chunk active
         # flag (1 = composited, 0 = skipped as all-sentinel/saturated).

@@ -355,55 +355,63 @@ def _chunk_active(ent, cl_carry):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(ent_ref, out_ref, wmax_ref, cl_s, cw_s, cwd_s, *,
-                tiles_x: int, tile_size: int, nc: int):
-    t = pl.program_id(0)
+                tiles_x: int, tile_size: int, nc: int, kt: int = 1):
+    """Forward grid step over ``kt`` tiles (static python unroll): fewer
+    grid iterations amortize per-step overhead and batch DMA; each subtile
+    keeps its OWN carries in scratch and its OWN exact skip test, so the
+    semantics are identical to kt=1 (unlike the rejected raster_v2, no
+    cross-step in-register carries are introduced)."""
+    tb = pl.program_id(0)
     j = pl.program_id(1)
     orows = out_ref.shape[1]
     p = tile_size * tile_size
 
     @pl.when(j == 0)
     def _init():
-        out_ref[0] = jnp.zeros((orows, p), jnp.float32)
+        out_ref[...] = jnp.zeros_like(out_ref)
         cl_s[...] = jnp.zeros_like(cl_s)
         cw_s[...] = jnp.zeros_like(cw_s)
         cwd_s[...] = jnp.zeros_like(cwd_s)
 
-    ent = ent_ref[0]
-    cl0 = cl_s[...]
-    active = _chunk_active(ent, cl0)
+    for k in range(kt):
+        ent = ent_ref[k]
+        cl0 = cl_s[k]
+        active = _chunk_active(ent, cl0)
 
-    @pl.when(active)
-    def _work():
-        pxc, pyc = _tile_pixels(t, tiles_x, tile_size)
-        cw0, cwd0 = cw_s[...], cwd_s[...]
-        out10, wmax_row, cl1, cw1, cwd1 = _chunk_fwd(
-            ent, pxc, pyc, cl0, cw0, cwd0
-        )
-        out_ref[0, 0:10] = out_ref[0, 0:10] + out10
-        # stored carries-at-chunk-start: rows 10+j (cl), 10+nc+j (cum-w)
-        out_ref[0, pl.ds(10 + j, 1), :] = cl0.T
-        out_ref[0, pl.ds(10 + nc + j, 1), :] = cw0.T
-        wmax_ref[0] = jnp.concatenate(
-            [
-                wmax_row[None],
-                jnp.ones((1, ent.shape[-1]), jnp.float32),
-                jnp.zeros((6, ent.shape[-1]), jnp.float32),
-            ],
-            axis=0,
-        )
-        cl_s[...] = cl1
-        cw_s[...] = cw1
-        cwd_s[...] = cwd1
+        @pl.when(active)
+        def _work(k=k, ent=ent, cl0=cl0):
+            pxc, pyc = _tile_pixels(
+                tb * kt + k, tiles_x, tile_size
+            )
+            cw0, cwd0 = cw_s[k], cwd_s[k]
+            out10, wmax_row, cl1, cw1, cwd1 = _chunk_fwd(
+                ent, pxc, pyc, cl0, cw0, cwd0
+            )
+            out_ref[k, 0:10] = out_ref[k, 0:10] + out10
+            # stored carries-at-chunk-start: rows 10+j (cl), 10+nc+j (cum-w)
+            out_ref[k, pl.ds(10 + j, 1), :] = cl0.T
+            out_ref[k, pl.ds(10 + nc + j, 1), :] = cw0.T
+            wmax_ref[k] = jnp.concatenate(
+                [
+                    wmax_row[None],
+                    jnp.ones((1, ent.shape[-1]), jnp.float32),
+                    jnp.zeros((6, ent.shape[-1]), jnp.float32),
+                ],
+                axis=0,
+            )
+            cl_s[k] = cl1
+            cw_s[k] = cw1
+            cwd_s[k] = cwd1
 
-    @pl.when(jnp.logical_not(active))
-    def _skip():
-        wmax_ref[0] = jnp.zeros((8, ent.shape[-1]), jnp.float32)
+        @pl.when(jnp.logical_not(active))
+        def _skip(k=k, ent=ent):
+            wmax_ref[k] = jnp.zeros((8, ent.shape[-1]), jnp.float32)
 
 
 def _bwd_kernel(ent_ref, outv_ref, wm_ref, go_ref, gw_ref, dent_ref,
                 sfx_wd_s, sfx_wg_s, *, tiles_x: int, tile_size: int,
-                nc: int):
-    t = pl.program_id(0)
+                nc: int, kt: int = 1):
+    tb = pl.program_id(0)
     j = pl.program_id(1)          # reverse chunk = nc - 1 - j via index maps
     cj = nc - 1 - j
 
@@ -412,70 +420,87 @@ def _bwd_kernel(ent_ref, outv_ref, wm_ref, go_ref, gw_ref, dent_ref,
         sfx_wd_s[...] = jnp.zeros_like(sfx_wd_s)
         sfx_wg_s[...] = jnp.zeros_like(sfx_wg_s)
 
-    ent = ent_ref[0]
-    ch = ent.shape[-1]
-    active = jnp.max(wm_ref[0, 1]) > 0.0
+    for k in range(kt):
+        ent = ent_ref[k]
+        ch = ent.shape[-1]
+        active = jnp.max(wm_ref[k, 1]) > 0.0
 
-    @pl.when(active)
-    def _work():
-        pxc, pyc = _tile_pixels(t, tiles_x, tile_size)
-        cl0 = outv_ref[0, pl.ds(10 + cj, 1), :].T
-        cw0 = outv_ref[0, pl.ds(10 + nc + cj, 1), :].T
-        tot_w = outv_ref[0, 6][:, None]
-        tot_wd = outv_ref[0, 7][:, None]
-        d_ent, nwd, nwg = _chunk_bwd(
-            ent, pxc, pyc, cl0, cw0, tot_w, tot_wd,
-            sfx_wd_s[...], sfx_wg_s[...],
-            wm_ref[0, 0], go_ref[0], gw_ref[0, 0],
-        )
-        dent_ref[0] = d_ent
-        sfx_wd_s[...] = nwd
-        sfx_wg_s[...] = nwg
+        @pl.when(active)
+        def _work(k=k, ent=ent):
+            pxc, pyc = _tile_pixels(
+                tb * kt + k, tiles_x, tile_size
+            )
+            cl0 = outv_ref[k, pl.ds(10 + cj, 1), :].T
+            cw0 = outv_ref[k, pl.ds(10 + nc + cj, 1), :].T
+            tot_w = outv_ref[k, 6][:, None]
+            tot_wd = outv_ref[k, 7][:, None]
+            d_ent, nwd, nwg = _chunk_bwd(
+                ent, pxc, pyc, cl0, cw0, tot_w, tot_wd,
+                sfx_wd_s[k], sfx_wg_s[k],
+                wm_ref[k, 0], go_ref[k], gw_ref[k, 0],
+            )
+            dent_ref[k] = d_ent
+            sfx_wd_s[k] = nwd
+            sfx_wg_s[k] = nwg
 
-    @pl.when(jnp.logical_not(active))
-    def _skip():
-        dent_ref[0] = jnp.zeros((F_ROWS, ch), jnp.float32)
+        @pl.when(jnp.logical_not(active))
+        def _skip(k=k, ch=ch):
+            dent_ref[k] = jnp.zeros((F_ROWS, ch), jnp.float32)
+
+
+def _pad_tiles(x, kt: int):
+    """Pad axis 0 to a multiple of kt with zeros (opa row 0 -> inactive)."""
+    t = x.shape[0]
+    pad = (-t) % kt
+    if pad == 0:
+        return x
+    return jnp.concatenate(
+        [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0
+    )
 
 
 def _composite_fwd_pallas(entries_t: jnp.ndarray, tiles_x: int,
-                          tile_size: int):
+                          tile_size: int, kt: int = 1):
     """entries_t: [T, F_ROWS, C] -> (out [T, OR, P], wmax [T, 8, C])."""
     t_tiles, f_rows, c = entries_t.shape
     assert f_rows == F_ROWS
     nc = n_chunks(c)
     orows = o_rows(nc)
     p = tile_size * tile_size
+    ent_p = _pad_tiles(entries_t, kt)
+    tp = ent_p.shape[0]
     kernel = functools.partial(
-        _fwd_kernel, tiles_x=tiles_x, tile_size=tile_size, nc=nc
+        _fwd_kernel, tiles_x=tiles_x, tile_size=tile_size, nc=nc, kt=kt
     )
-    return pl.pallas_call(
+    out, wm = pl.pallas_call(
         kernel,
-        grid=(t_tiles, nc),
+        grid=(tp // kt, nc),
         in_specs=[
-            pl.BlockSpec((1, F_ROWS, CHUNK), lambda t, j: (t, 0, j),
+            pl.BlockSpec((kt, F_ROWS, CHUNK), lambda t, j: (t, 0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, orows, p), lambda t, j: (t, 0, 0),
+            pl.BlockSpec((kt, orows, p), lambda t, j: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, CHUNK), lambda t, j: (t, 0, j),
+            pl.BlockSpec((kt, 8, CHUNK), lambda t, j: (t, 0, j),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((t_tiles, orows, p), jnp.float32),
-            jax.ShapeDtypeStruct((t_tiles, 8, c), jnp.float32),
+            jax.ShapeDtypeStruct((tp, orows, p), jnp.float32),
+            jax.ShapeDtypeStruct((tp, 8, c), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((p, 1), jnp.float32),
-            pltpu.VMEM((p, 1), jnp.float32),
-            pltpu.VMEM((p, 1), jnp.float32),
+            pltpu.VMEM((kt, p, 1), jnp.float32),
+            pltpu.VMEM((kt, p, 1), jnp.float32),
+            pltpu.VMEM((kt, p, 1), jnp.float32),
         ],
         interpret=_INTERPRET,
-    )(entries_t)
+    )(ent_p)
+    return out[:t_tiles], wm[:t_tiles]
 
 
 def _composite_bwd_pallas(entries_t, out_vals, wm_vals, g_out, g_wmax,
-                          tiles_x: int, tile_size: int):
+                          tiles_x: int, tile_size: int, kt: int = 1):
     """Analytic backward. Runs chunks in reverse; needs the forward's
     outputs (out_vals carries the per-chunk cl/cum rows; wm_vals carries
     per-splat max weights and the chunk-active flags)."""
@@ -483,31 +508,37 @@ def _composite_bwd_pallas(entries_t, out_vals, wm_vals, g_out, g_wmax,
     nc = n_chunks(c)
     orows = o_rows(nc)
     p = tile_size * tile_size
+    args = [
+        _pad_tiles(a, kt)
+        for a in (entries_t, out_vals, wm_vals, g_out, g_wmax)
+    ]
+    tp = args[0].shape[0]
     kernel = functools.partial(
-        _bwd_kernel, tiles_x=tiles_x, tile_size=tile_size, nc=nc
+        _bwd_kernel, tiles_x=tiles_x, tile_size=tile_size, nc=nc, kt=kt
     )
     rev = lambda t, j: (t, 0, nc - 1 - j)
-    return pl.pallas_call(
+    d_ent = pl.pallas_call(
         kernel,
-        grid=(t_tiles, nc),
+        grid=(tp // kt, nc),
         in_specs=[
-            pl.BlockSpec((1, F_ROWS, CHUNK), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, orows, p), lambda t, j: (t, 0, 0),
+            pl.BlockSpec((kt, F_ROWS, CHUNK), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((kt, orows, p), lambda t, j: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, CHUNK), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, orows, p), lambda t, j: (t, 0, 0),
+            pl.BlockSpec((kt, 8, CHUNK), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((kt, orows, p), lambda t, j: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, CHUNK), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((kt, 8, CHUNK), rev, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, F_ROWS, CHUNK), rev,
+        out_specs=pl.BlockSpec((kt, F_ROWS, CHUNK), rev,
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t_tiles, F_ROWS, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((tp, F_ROWS, c), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((p, 1), jnp.float32),
-            pltpu.VMEM((p, 1), jnp.float32),
+            pltpu.VMEM((kt, p, 1), jnp.float32),
+            pltpu.VMEM((kt, p, 1), jnp.float32),
         ],
         interpret=_INTERPRET,
-    )(entries_t, out_vals, wm_vals, g_out, g_wmax)
+    )(*args)
+    return d_ent[:t_tiles]
 
 
 # ---------------------------------------------------------------------------
@@ -649,23 +680,25 @@ def _composite_ref_jax(entries_t: jnp.ndarray, tiles_x: int, tile_size: int,
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
-def tile_composite(entries_t, tiles_x: int, tile_size: int):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def tile_composite(entries_t, tiles_x: int, tile_size: int, kt: int = 1):
     """Differentiable fused tile compositing; chunked early-stop Pallas
-    forward with a hand-derived analytic chunked Pallas backward."""
-    return _composite_fwd_pallas(entries_t, tiles_x, tile_size)
+    forward with a hand-derived analytic chunked Pallas backward.
+    ``kt`` > 1 processes kt tiles per grid step (identical semantics;
+    amortized step overhead)."""
+    return _composite_fwd_pallas(entries_t, tiles_x, tile_size, kt)
 
 
-def _tc_fwd(entries_t, tiles_x, tile_size):
-    out, wm = _composite_fwd_pallas(entries_t, tiles_x, tile_size)
+def _tc_fwd(entries_t, tiles_x, tile_size, kt):
+    out, wm = _composite_fwd_pallas(entries_t, tiles_x, tile_size, kt)
     return (out, wm), (entries_t, out, wm)
 
 
-def _tc_bwd(tiles_x, tile_size, res, g):
+def _tc_bwd(tiles_x, tile_size, kt, res, g):
     entries_t, out, wm = res
     g_out, g_wmax = g
     d_entries = _composite_bwd_pallas(
-        entries_t, out, wm, g_out, g_wmax, tiles_x, tile_size
+        entries_t, out, wm, g_out, g_wmax, tiles_x, tile_size, kt
     )
     return (d_entries,)
 

@@ -225,3 +225,40 @@ def test_raster_v2_env_opt_in_raises(monkeypatch):
     scene = _scene(20, seed=5)
     with pytest.raises(RuntimeError, match="parity"):
         _run("pallas", *scene)
+
+
+@pytest.mark.parametrize("kt", [2, 4])
+def test_multitile_kt_matches_kt1(kt, monkeypatch):
+    """kt tiles per composite grid step must be BIT-IDENTICAL to kt=1:
+    per-subtile math, carries, and skip tests are unchanged — only the
+    grid decomposition differs (unlike the rejected raster_v2)."""
+    import gssdf_tpu.ops.pallas.raster as R
+
+    monkeypatch.setattr(R, "_INTERPRET", True)
+    scene = _scene(n=80, seed=3)
+    means, quats, scales, opac, colors = scene
+    p = project_2dgs(means, quats, scales, EYE4, K, W, H, 0.01, 100.0)
+
+    def run(kt_val):
+        monkeypatch.setenv("GSSDF_RASTER_KT", str(kt_val))
+
+        def loss(op):
+            r = rasterize_tiled(
+                p.means2d, p.M, p.depths, p.normals, colors, op, p.valid,
+                p.radii, W, H, tile_cap=128, tile_expand=32, impl="pallas",
+            )
+            s = (jnp.sum(r["color"]) + jnp.sum(r["depth"])
+                 + jnp.sum(r["visibilities"]))
+            return s, r
+
+        (val, r), g = jax.value_and_grad(loss, has_aux=True)(opac)
+        return val, r, g
+
+    v1, r1, g1 = run(1)
+    vk, rk, gk = run(kt)
+    assert float(v1) == float(vk)
+    for ch in ("color", "depth", "alpha", "visibilities", "chunk_active"):
+        np.testing.assert_array_equal(
+            np.asarray(r1[ch]), np.asarray(rk[ch]), err_msg=ch
+        )
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(gk))
