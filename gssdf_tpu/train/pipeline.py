@@ -290,6 +290,16 @@ class Pipeline:
         )
         n0 = int(mask.shape[0])
         idx = jnp.nonzero(mask)[0]
+        if int(idx.shape[0]) < max(1, n0 // 100):
+            # a barely-trained SDF can classify (nearly) everything as
+            # outlier; wiping the ray pack would crash every later batch
+            # pick — keep the pack and let a later (better-trained) pass
+            # do the removal
+            print(
+                f"Outlier removal({thresh:.3f}): would keep only "
+                f"{int(idx.shape[0])}/{n0} rays — skipped"
+            )
+            return
         self.pack_dev = {k: v[idx] for k, v in self.pack_dev.items()}
         self.pack_idx = self.pack_idx[np.asarray(idx)]
         print(f"Outlier removal({thresh:.3f}): {n0} -> {int(idx.shape[0])}")
@@ -617,6 +627,12 @@ class Pipeline:
                 nu=self.gs_state.opt.nu["sdf"],
             )
 
+        # completion marker: --resume on a run whose TRAINING finished
+        # (outage during exports/eval) must go straight to exports, not
+        # re-train the tail from the last mid-phase snapshot
+        if cfg.model_path and iters >= cfg.gs_iter_step:
+            (Path(cfg.model_path) / "gs_done").touch()
+
     def _handle_key(self, cmd: str):
         """Dispatch one keyboard command at an iteration boundary
         (keyboard_loop cases, neural_mapping.cpp:1493-1556)."""
@@ -939,6 +955,13 @@ class Pipeline:
             flatten("__opt__.step", self.sdf_opt.step)
             flatten("__opt__.mu", self.sdf_opt.mu)
             flatten("__opt__.nu", self.sdf_opt.nu)
+        # SDF-phase host state (beyond reference): a resume that lands
+        # BEFORE the first mid-GS snapshot must not silently train on the
+        # un-outlier-filtered ray pack / default sample_std
+        if getattr(self, "pack_idx", None) is not None:
+            flat["__resume__.pack_idx"] = np.asarray(self.pack_idx)
+            flat["__resume__.sample_std"] = np.float64(self.sample_std)
+            flat["__resume__.key"] = np.asarray(self.key)
         np.savez(model_dir / "sdf_checkpoint.npz", **flat)
         if self.gs_state is not None:
             n = export_gs_ply(model_dir / "gs.ply", splat_model(self.gs_state))
@@ -996,11 +1019,7 @@ class Pipeline:
         self.sdf_params = self.gs_state.params["sdf"]
         self.sample_std = float(data["sample_std"])
         self.key = jnp.asarray(data["key"])
-        idx = data["pack_idx"]
-        self.pack_dev = {
-            k: v[jnp.asarray(idx)] for k, v in self.pack_dev.items()
-        }
-        self.pack_idx = idx
+        self._apply_pack_idx(np.asarray(data["pack_idx"]))
         return int(data["gs_iter"])
 
     def load_checkpoint(self, model_dir):
@@ -1028,7 +1047,8 @@ class Pipeline:
             return tree
 
         tree = unflatten(
-            [k for k in data.keys() if not k.startswith("__opt__.")]
+            [k for k in data.keys()
+             if not k.startswith(("__opt__.", "__resume__."))]
         )
 
         def fix_decoder(t):
@@ -1053,6 +1073,14 @@ class Pipeline:
         else:
             self.sdf_opt = adam_init(self.sdf_params)
 
+        # replay the SDF-phase host state (outlier-filtered pack, adapted
+        # sample_std, RNG position) when the checkpoint carries it and the
+        # data-side pack exists
+        if "__resume__.pack_idx" in data and self.pack_dev is not None:
+            self._apply_pack_idx(np.asarray(data["__resume__.pack_idx"]))
+            self.sample_std = float(data["__resume__.sample_std"])
+            self.key = jnp.asarray(data["__resume__.key"])
+
         prior = model_dir / "as_occ_prior.ply"
         if prior.exists():
             pts = read_ply_xyz(prior)
@@ -1063,6 +1091,24 @@ class Pipeline:
         if gs_ply.exists():
             model = import_gs_ply(gs_ply)
             self.gs_state = gs_state_init(self.sdf_params, model)
+
+    def _apply_pack_idx(self, idx: np.ndarray):
+        """Subset the device ray pack to the given ORIGINAL-pack indices,
+        composing safely over any subsetting already applied (pack_idx is
+        strictly increasing, so positions resolve by binary search)."""
+        if np.array_equal(idx, self.pack_idx):
+            return
+        pos = np.searchsorted(self.pack_idx, idx)
+        if pos.size and (pos.max() >= len(self.pack_idx)
+                         or not np.array_equal(self.pack_idx[pos], idx)):
+            raise ValueError(
+                "resume pack indices are not a subset of the current ray "
+                "pack — dataset or preprocessing changed since the run"
+            )
+        self.pack_dev = {
+            k: v[jnp.asarray(pos)] for k, v in self.pack_dev.items()
+        }
+        self.pack_idx = idx
 
     # -- full run ----------------------------------------------------------
 
@@ -1096,7 +1142,10 @@ class Pipeline:
         self.build_occ_map()
         self.load_checkpoint(Path(cfg.model_path))
         start = self.load_gs_resume()
-        if start is not None and start < cfg.gs_iter_step:
+        done = (Path(cfg.model_path) / "gs_done").exists()
+        if done:
+            print("GS phase already complete; running final exports")
+        elif start is not None and start < cfg.gs_iter_step:
             print(f"resuming joint GS phase at iteration {start}")
             self.gs_train(start_iter=start)
         elif start is None:

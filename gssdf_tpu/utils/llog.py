@@ -69,16 +69,22 @@ class Llog:
         path = Path(path)
         file_cols = self._file_columns.get(path)
         if file_cols is None:
-            file_cols = (
-                [k for k in cols if k in self.values]
-                if cols is not None
-                else list(self._order)
-            )
-            self._file_columns[path] = file_cols
-            if not path.exists():
+            if path.exists():
+                # resumed run appending to an existing log: rows MUST
+                # follow the file's own header, not this process's
+                # recorded-value set (which can differ at resume time)
+                with open(path) as f:
+                    file_cols = f.readline().split()
+            else:
+                file_cols = (
+                    [k for k in cols if k in self.values]
+                    if cols is not None
+                    else list(self._order)
+                )
                 path.parent.mkdir(parents=True, exist_ok=True)
                 with open(path, "w") as f:
                     f.write(" ".join(file_cols) + "\n")
+            self._file_columns[path] = file_cols
         with open(path, "a") as f:
             f.write(
                 " ".join(f"{self.values.get(k, 0.0):.6g}" for k in file_cols)

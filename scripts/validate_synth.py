@@ -258,21 +258,13 @@ preload: 1
 
     t0 = time.time()
     if args.resume:
-        # outage recovery: deterministic data-side rebuild + checkpoint +
-        # mid-GS-phase snapshot (timings of resumed stages are partial)
-        pipe.build_occ_map()
-        t_occ = time.time()
-        pipe.load_checkpoint(Path(cfg.model_path))
-        start = pipe.load_gs_resume()
-        t_sdf = t_init = time.time()
-        if start is not None and start < cfg.gs_iter_step:
-            print(f"resuming joint GS phase at iteration {start}")
-            pipe.gs_train(start_iter=start)
-        elif start is None:
-            if pipe.gs_state is None:
-                pipe.init_gs()
-                t_init = time.time()
-            pipe.gs_train()
+        # outage recovery: Pipeline.resume_train owns the whole flow
+        # (deterministic data-side rebuild, checkpoint + mid-GS snapshot
+        # restore, completion marker) incl. final exports; timings of
+        # resumed stages are partial by nature
+        t_occ = t_sdf = t_init = time.time()
+        pipe.resume_train()
+        t_gs = t_end = time.time()
     else:
         pipe.build_occ_map()
         t_occ = time.time()
@@ -282,9 +274,9 @@ preload: 1
         pipe.init_gs()
         t_init = time.time()
         pipe.gs_train()
-    t_gs = time.time()
-    pipe.end()
-    t_end = time.time()
+        t_gs = time.time()
+        pipe.end()
+        t_end = time.time()
 
     # chamfer vs analytic GT
     verts, faces, _ = pipe.save_mesh(cfg.export_resolution, save=False)

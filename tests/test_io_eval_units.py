@@ -160,3 +160,30 @@ def test_keyboard_commands_dispatch(monkeypatch):
     assert pipe._poll_keys() is False
     assert pipe._poll_keys() is True      # 'q' -> stop
     assert calls == [("m", 0.25), ("o",)]
+
+
+def test_llog_flash_resume_follows_file_header(tmp_path):
+    """A fresh process appending to an existing log (resumed run) must
+    follow the FILE's header, not its own recorded-value set — otherwise
+    every appended row is column-shifted (code-review finding r03)."""
+    from gssdf_tpu.utils.llog import Llog
+
+    path = tmp_path / "gs_log.txt"
+    a = Llog()
+    a.record("x", 1.0)
+    a.record("psnr", 20.0)
+    a.flash(path, cols=("x", "psnr"))
+
+    b = Llog()                  # new-process analog
+    b.record("x", 2.0)          # 'psnr' not recorded yet at resume time
+    b.flash(path, cols=("x", "psnr"))
+    b.record("psnr", 21.0)
+    b.record("x", 3.0)
+    b.flash(path)
+
+    lines = path.read_text().strip().splitlines()
+    assert lines[0].split() == ["x", "psnr"]
+    rows = [ln.split() for ln in lines[1:]]
+    assert all(len(r) == 2 for r in rows), rows
+    assert [float(r[0]) for r in rows] == [1.0, 2.0, 3.0]
+    assert [float(r[1]) for r in rows] == [20.0, 0.0, 21.0]

@@ -381,3 +381,81 @@ def test_cli_render_command(run_dir, tmp_path):
     img = cv2.imread(str(colors[0]))
     assert img is not None and img.shape == (cam.height, cam.width, 3)
     assert img.max() > 0        # the trained wall is visible, not black
+
+
+def test_checkpoint_restores_sdf_phase_host_state(tmp_path_factory):
+    """A resume that lands BEFORE any mid-GS snapshot must still replay the
+    SDF phase's host state from the checkpoint: the outlier-FILTERED ray
+    pack (not the raw rebuild), the adapted sample_std, and the RNG
+    position (code-review finding r03)."""
+    import jax.numpy as jnp
+
+    root = tmp_path_factory.mktemp("ckpt_scene")
+    _make_dataset(root, n_frames=4)
+    cfg_dir = tmp_path_factory.mktemp("ckpt_cfg")
+    (cfg_dir / "run.yaml").write_text(
+        """
+dataset_type: 0
+sdf_iter_step: 130
+gs_iter_step: 24
+leaf_sizes: 0.2
+max_pt_num: 2000
+map:
+  map_size: 8
+res_scale: 0.04
+ds_pt_num: 1000
+batch_pt_num: 1024
+n_levels: 3
+log2_hashmap_size: 12
+base_resolution: 8
+hidden_dim: 16
+geo_num_layer: 2
+outlier_removal: 1
+outlier_removal_interval: 100
+raymarch_max_hits: 4
+raymarch_max_steps: 128
+"""
+    )
+    out_root = tmp_path_factory.mktemp("ckpt_out")
+    cfg = load_config(cfg_dir / "run.yaml", root, make_run_dir=False)
+    cfg.output_path = str(out_root / "run")
+    cfg.model_path = str(out_root / "run" / "model")
+    cfg.outlier_remove = True
+    Path(cfg.model_path).mkdir(parents=True)
+
+    from gssdf_tpu.train.pipeline import Pipeline
+
+    def corrupt(p):
+        """Deterministic depth corruption: every 7th ray lands 2 m behind
+        the wall — the trained SDF must flag these as |sdf| outliers."""
+        import jax.numpy as jnp
+
+        d = np.asarray(p.pack_dev["depth"]).copy()
+        d[::7] += 2.0
+        p.pack_dev = dict(p.pack_dev, depth=jnp.asarray(d))
+
+    pipe = Pipeline(cfg)
+    pipe.build_occ_map()
+    corrupt(pipe)
+    n_full = len(pipe.pack_idx)
+    pipe.nsdf_train()
+    pipe.export_checkpoint()
+    n_filtered = len(pipe.pack_idx)
+    assert n_filtered < n_full, "outlier removal never fired; weak test"
+
+    pipe2 = Pipeline(cfg)
+    pipe2.build_occ_map()
+    corrupt(pipe2)
+    assert len(pipe2.pack_idx) == n_full
+    pipe2.load_checkpoint(cfg.model_path)
+    assert len(pipe2.pack_idx) == n_filtered
+    np.testing.assert_array_equal(pipe2.pack_idx, pipe.pack_idx)
+    assert pipe2.sample_std == pytest.approx(pipe.sample_std)
+    np.testing.assert_array_equal(
+        np.asarray(pipe2.key), np.asarray(pipe.key)
+    )
+    np.testing.assert_allclose(
+        np.asarray(pipe2.pack_dev["depth"]),
+        np.asarray(pipe.pack_dev["depth"]),
+        atol=0,
+    )
