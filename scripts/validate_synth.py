@@ -224,6 +224,7 @@ leaf_sizes: 0.05
 tile_cap: 512
 gs_sdf_budget: 32768
 export_resolution: 0.02
+resume_interval: 1000
 """
     (cfg_dir / "run.yaml").write_text(f"""
 dataset_type: 0
