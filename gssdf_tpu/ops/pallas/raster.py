@@ -284,13 +284,13 @@ def _chunk_bwd(ent, pxc, pyc, cl0, cw0, tot_w, tot_wd, sfx_wd, sfx_wg,
     da1 = jnp.where(f["gate"], Galpha, 0.0)
     d_araw = jnp.where(f["a_raw"] <= MAX_ALPHA, da1, 0.0)
     d_rho = -0.5 * f["a_raw"] * d_araw
-    gauss = jnp.where(
-        f["use3d"],
-        jnp.exp(-0.5 * f["s2"] * (f["inv"] * f["inv"])),
-        jnp.exp(
-            -0.5 * FILTER_INV_SQUARE * (f["dx"] * f["dx"] + f["dy"] * f["dy"])
-        ),
-    )
+    # gauss = exp(-0.5*rho) recovered as a_raw/opa (a_raw = opa*gauss by
+    # construction) — saves two [P, ch] exp evaluations per chunk on the
+    # VPU. Exactness: only d_opa flows through gauss (the weight replay
+    # never does), and sentinel rows (opa == 0) have gate == 0 so
+    # d_araw == 0 there — the reciprocal guard value is never observed.
+    opa = ent[14][None]
+    gauss = f["a_raw"] / jnp.where(opa > 0.0, opa, 1.0)
     d_opa = gauss * d_araw
 
     d_rho3 = jnp.where(f["use3d"], d_rho, 0.0)
