@@ -211,15 +211,26 @@ def build_splat_model(
 
 
 def bucket_capacity(n: int, mult: float = 1.5, quantum: int = 1 << 16) -> int:
-    """Static splat capacity: n * mult rounded up to the bucket quantum.
+    """Static splat capacity: n * mult rounded up to a geometric ladder.
 
-    Headroom is deliberately modest: every per-splat op (projection, SH,
-    tile-entry emit, Adam) scales with CAPACITY, not live count, so slack
-    is a flat tax on the whole GS step. Growth past the headroom triggers
-    a capacity re-bucket (the one recompile event — see
+    Capacities are restricted to ``m * 2^e`` with ``m in {4..7}`` (rung
+    ratio <= 1.25, mean slack ~11%): every distinct capacity recompiles the
+    whole per-splat program suite (train step, refine, eval render —
+    GB-scale host executables, minutes of tunnel-bound compile each), so a
+    full run must only ever touch a handful of shapes no matter how the
+    alive count wanders. ``quantum`` is a floor, not a granularity.
+
+    Headroom (``mult``) is deliberately modest: every per-splat op
+    (projection, SH, tile-entry emit, Adam) scales with CAPACITY, not live
+    count, so slack is a flat tax on the whole GS step. Growth past the
+    headroom triggers a capacity re-bucket (the one recompile event — see
     train/gs.py::rebucket_gs_state)."""
-    want = int(n * mult)
-    return max(((want + quantum - 1) // quantum) * quantum, quantum)
+    want = max(int(n * mult), quantum, 8)
+    e = want.bit_length() - 3  # 4*2^e <= want < 8*2^e
+    for m in (4, 5, 6, 7, 8):
+        if (m << e) >= want:
+            return m << e
+    raise AssertionError("unreachable: m=8 rung always covers want")
 
 
 def pad_splat_rows(params: SplatParams, pad: int) -> SplatParams:

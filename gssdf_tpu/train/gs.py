@@ -693,8 +693,8 @@ class GSTrainer:
                 n_alive = int(jnp.sum(state.alive))
                 cap = int(state.alive.shape[0])
                 if n_alive > spec.rebucket_sat * cap:
-                    # quantum scaled to the store: a 64-row test store must
-                    # not snap to the 65536 production quantum
+                    # capacity floor scaled to the store: a 64-row test
+                    # store must not snap to the 65536 production floor
                     new_cap = bucket_capacity(
                         n_alive, quantum=min(1 << 16, cap)
                     )
@@ -706,7 +706,7 @@ class GSTrainer:
                     # SHRINK after heavy pruning: the store keeps paying
                     # its high-water capacity in every per-splat op (a
                     # mesh-init store pruned 1.23M -> 380k alive stepped
-                    # 3.4x slower than needed). Finer quantum than grow so
+                    # 3.4x slower than needed). Lower floor than grow so
                     # small test stores can shrink too; >= 2x hysteresis
                     # against grow (which re-fires at 90% saturation).
                     new_cap = bucket_capacity(
@@ -716,6 +716,14 @@ class GSTrainer:
                         state = compact_gs_state(state, new_cap)
                         state = self._rereplicate(state)
                         info["shrink"] = new_cap
+                if "rebucket" in info or "shrink" in info:
+                    # drop the old capacity's executables from every jit
+                    # cache (train step, refine ops, eval render): each
+                    # stale shape holds GB-scale host memory — the source
+                    # of the ~5 MB/GS-iter RSS creep at reference scale
+                    # (RESULTS_r03.md). The persistent compilation cache
+                    # makes the retrace/reload of live shapes cheap.
+                    jax.clear_caches()
 
         if _crossed(iter_num, stride, spec.reset_every):
             state = self.reset_fn(state)
