@@ -1,10 +1,11 @@
 """Benchmarks on one chip, chained-iteration protocol.
 
 Measures, at a Replica-like operating point (SURVEY.md §3.3/§6):
-  * differentiable 2DGS render forward+backward throughput (HEADLINE, last
-    line printed — splats rasterized/s through project -> SH -> tile encode
+  * differentiable 2DGS render forward+backward throughput (HEADLINE —
+    measured FIRST and emitted the moment it exists, then re-emitted as the
+    final line; splats rasterized/s through project -> SH -> tile encode
     -> composite -> losses -> grads)
-  * render forward-only throughput
+  * render forward-only / eval-render throughput
   * SDF train step wall time (raymarch sample -> hash-grid field -> BCE +
     eikonal -> backward -> Adam) and ray throughput
 
@@ -12,15 +13,37 @@ Every timing loop is CHAINED: each iteration's output feeds the next
 iteration's input (CLAUDE.md: repeated identical executions are elided
 somewhere in the axon path, and XLA constant-folds unconsumed work).
 
+Loss-proofing (round-3 lesson: BENCH_r03 rc=124 with zero parsed lines):
+  * the persistent XLA compile cache is enabled, so tunnel-bound compiles
+    are paid once across bench runs;
+  * the headline is the FIRST thing measured and is printed immediately;
+  * a deadline watchdog (GSSDF_BENCH_DEADLINE seconds, default 2400)
+    re-prints the best headline so far and exits 0 instead of being killed
+    mid-compile with an empty stdout;
+  * every subsequent section runs under try/except and failures are
+    reported as JSON note lines rather than aborting the run.
+
 ``vs_baseline``: the reference publishes no numbers (BASELINE.md); the
 denominator is a nominal 1e8 splats/s CUDA-class figure (≈1M-splat scene at
 100 fps fwd+bwd) so the ratio is comparable across rounds.
 """
 
 import json
+import os
+import threading
 import time
+import traceback
 
 import numpy as np
+
+_BASELINE = 1e8
+_headline = {
+    "metric": "gs_render_fwd_bwd_splats_per_s",
+    "value": 0,
+    "unit": "splats/s",
+    "vs_baseline": 0.0,
+    "note": "no measurement completed",
+}
 
 
 def _chain_timeit(fn, state, iters):
@@ -42,12 +65,19 @@ def _emit(metric, value, unit, vs=None):
     print(json.dumps(rec), flush=True)
 
 
-def bench_render():
+def _emit_headline(n, dt_fb):
+    v = n / dt_fb
+    _headline.update(value=round(v, 1), vs_baseline=round(v / _BASELINE, 4))
+    _headline.pop("note", None)
+    print(json.dumps(_headline), flush=True)
+
+
+def _build_render_point():
     import jax
     import jax.numpy as jnp
 
-    from gssdf_tpu.gs.model import SplatModel, build_splat_model
-    from gssdf_tpu.gs.render import RenderSettings, render_splats
+    from gssdf_tpu.gs.model import build_splat_model
+    from gssdf_tpu.gs.render import RenderSettings
     from gssdf_tpu.sensors.cameras import Camera
     from gssdf_tpu.utils.math import logit
 
@@ -81,6 +111,18 @@ def bench_render():
     pose = jnp.eye(4, dtype=jnp.float32)
     K = jnp.asarray(cam.K, jnp.float32)
     target = jnp.zeros((H, W, 3))
+    return model, settings, pose, K, target, n
+
+
+def bench_render_fwd_bwd(point):
+    """HEADLINE: chained fwd+bwd through the full differentiable render."""
+    import jax
+    import jax.numpy as jnp
+
+    from gssdf_tpu.gs.model import SplatModel
+    from gssdf_tpu.gs.render import render_splats
+
+    model, settings, pose, K, target, n = point
 
     def loss_fn(params):
         m = SplatModel(params=params, anchors=model.anchors, alive=model.alive)
@@ -98,6 +140,19 @@ def bench_render():
         return jax.tree.map(lambda p, gg: p - 1e-12 * gg, params, g)
 
     dt_fb = _chain_timeit(step, model.params, 20)
+    _emit("gs_render_fwd_bwd_ms", dt_fb * 1e3, "ms")
+    _emit_headline(n, dt_fb)
+    return dt_fb
+
+
+def bench_render_fwd(point):
+    import jax
+    import jax.numpy as jnp
+
+    from gssdf_tpu.gs.model import SplatModel
+    from gssdf_tpu.gs.render import render_splats
+
+    model, settings, pose, K, target, n = point
 
     @jax.jit
     def fwd(params):
@@ -107,6 +162,8 @@ def bench_render():
         return jax.tree.map(lambda p: p + s * 1e-30, params)
 
     dt_f = _chain_timeit(fwd, model.params, 20)
+    _emit("gs_render_fwd_ms", dt_f * 1e3, "ms")
+    _emit("gs_render_fwd_splats_per_s", n / dt_f, "splats/s")
 
     @jax.jit
     def fwd_eval(params):
@@ -116,11 +173,7 @@ def bench_render():
         return jax.tree.map(lambda p: p + s * 1e-30, params)
 
     dt_e = _chain_timeit(fwd_eval, model.params, 20)
-
-    _emit("gs_render_fwd_ms", dt_f * 1e3, "ms")
-    _emit("gs_render_fwd_splats_per_s", n / dt_f, "splats/s")
     _emit("gs_render_eval_fwd_ms", dt_e * 1e3, "ms")
-    return n, dt_fb
 
 
 def bench_sdf():
@@ -179,12 +232,10 @@ def _device_reachable(timeout_s: float = 300.0) -> bool:
     """Probe backend init in a worker thread: the axon tunnel can wedge
     ``jax.devices()`` indefinitely when the remote pool is down; a hung
     bench leaves no artifact at all, an explicit zero-line is honest."""
-    import threading
 
     ok = []
 
     def probe():
-        import jax
         import jax.numpy as jnp
 
         x = jnp.ones((8, 8))
@@ -198,22 +249,49 @@ def _device_reachable(timeout_s: float = 300.0) -> bool:
 
 
 def main():
+    # Deadline watchdog: if any compile/execute wedges past the budget,
+    # flush the best headline so far and exit 0 — a killed bench with empty
+    # stdout (round 3) is the one unacceptable outcome.
+    deadline = float(os.environ.get("GSSDF_BENCH_DEADLINE", "2400"))
+
+    def _flush_and_exit():
+        print(json.dumps({**_headline, "note": _headline.get(
+            "note", "deadline watchdog fired mid-section")}), flush=True)
+        os._exit(0)
+
+    wd = threading.Timer(deadline, _flush_and_exit)
+    wd.daemon = True
+    wd.start()
+
     if not _device_reachable():
-        rec = {
-            "metric": "gs_render_fwd_bwd_splats_per_s",
-            "value": 0,
-            "unit": "splats/s",
-            "vs_baseline": 0.0,
-            "note": "TPU backend unreachable (axon tunnel down); no "
-            "measurement possible this run",
-        }
-        print(json.dumps(rec), flush=True)
+        _headline["note"] = (
+            "TPU backend unreachable (axon tunnel down); no measurement "
+            "possible this run"
+        )
+        print(json.dumps(_headline), flush=True)
         return
-    bench_sdf()
-    n, dt_fb = bench_render()
-    baseline = 1e8
-    v = n / dt_fb
-    _emit("gs_render_fwd_bwd_splats_per_s", v, "splats/s", v / baseline)
+
+    from gssdf_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    sections = []
+    point = _build_render_point()
+    sections.append(("render_fwd_bwd", lambda: bench_render_fwd_bwd(point)))
+    sections.append(("render_fwd", lambda: bench_render_fwd(point)))
+    sections.append(("sdf", bench_sdf))
+    for name, fn in sections:
+        try:
+            fn()
+        except Exception as e:  # noqa: BLE001 — partial results beat none
+            traceback.print_exc()
+            print(json.dumps({"metric": f"bench_section_{name}_error",
+                              "value": 0, "unit": "error",
+                              "note": repr(e)}), flush=True)
+
+    wd.cancel()
+    # the headline is the LAST line for drivers that parse only that
+    print(json.dumps(_headline), flush=True)
 
 
 if __name__ == "__main__":

@@ -213,12 +213,20 @@ def build_splat_model(
 def bucket_capacity(n: int, mult: float = 1.5, quantum: int = 1 << 16) -> int:
     """Static splat capacity: n * mult rounded up to a geometric ladder.
 
-    Capacities are restricted to ``m * 2^e`` with ``m in {4..7}`` (rung
-    ratio <= 1.25, mean slack ~11%): every distinct capacity recompiles the
-    whole per-splat program suite (train step, refine, eval render —
+    Capacities are restricted to ``m * 2^e`` with ``m in {4..8}`` (the m=8
+    rung equals ``4 * 2^(e+1)``, so the value set is exactly the m in
+    {4..7} ladder; rung ratio <= 1.25): every distinct capacity recompiles
+    the whole per-splat program suite (train step, refine, eval render —
     GB-scale host executables, minutes of tunnel-bound compile each), so a
     full run must only ever touch a handful of shapes no matter how the
     alive count wanders. ``quantum`` is a floor, not a granularity.
+
+    Slack accounting: mean rung slack is ~11% ON TOP of ``mult``, but the
+    worst case immediately after a grow is capacity ≈ 1.875x alive (1.5
+    mult x 1.25 rung) — a flat tax on every per-splat op and on HBM for
+    params + Adam moments until pruning/shrink catches up. At the largest
+    expected rung (2^21 splats, ~59 f32 values/splat for params+moments+
+    densify stats) that is ~0.5 GB of HBM — fine on a 16 GB v5e.
 
     Headroom (``mult``) is deliberately modest: every per-splat op
     (projection, SH, tile-entry emit, Adam) scales with CAPACITY, not live

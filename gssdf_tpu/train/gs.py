@@ -664,6 +664,11 @@ class GSTrainer:
         else:
             self.step_fn = make_gs_train_step(spec, geom, grid, cam)
         self.refine_fn, self.prune_inv_fn, self.reset_fn = make_refine_fns(spec)
+        # every jitted fn traced at splat-store capacity; extended by the
+        # Pipeline (eval render). Cleared per-function on rebucket/shrink.
+        self.capacity_jits = [
+            self.step_fn, self.refine_fn, self.prune_inv_fn, self.reset_fn
+        ]
 
     def sh_active(self, iter_num: int) -> int:
         return min(self.spec.sh_degree, iter_num // self.spec.sh_degree_interval)
@@ -717,13 +722,17 @@ class GSTrainer:
                         state = self._rereplicate(state)
                         info["shrink"] = new_cap
                 if "rebucket" in info or "shrink" in info:
-                    # drop the old capacity's executables from every jit
-                    # cache (train step, refine ops, eval render): each
-                    # stale shape holds GB-scale host memory — the source
-                    # of the ~5 MB/GS-iter RSS creep at reference scale
-                    # (RESULTS_r03.md). The persistent compilation cache
-                    # makes the retrace/reload of live shapes cheap.
-                    jax.clear_caches()
+                    # drop the old capacity's executables from the
+                    # CAPACITY-SHAPED jit caches only (train step, refine
+                    # ops, registered eval render): each stale shape holds
+                    # GB-scale host memory — the source of the ~5 MB/GS-iter
+                    # RSS creep at reference scale (RESULTS_r03.md). Scoped
+                    # per-function (not jax.clear_caches()) so
+                    # capacity-independent executables (SDF step, mesh
+                    # export) survive even without the persistent
+                    # compilation cache.
+                    for f in self.capacity_jits:
+                        f.clear_cache()
 
         if _crossed(iter_num, stride, spec.reset_every):
             state = self.reset_fn(state)

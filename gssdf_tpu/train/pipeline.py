@@ -474,6 +474,9 @@ class Pipeline:
         self.gs_trainer = GSTrainer(
             spec, self.geom, self.grid, self.loader.camera, mesh=self.mesh
         )
+        # eval/export renders trace at store capacity too: register so
+        # rebucket/shrink drops their stale-shape executables as well
+        self.gs_trainer.capacity_jits.append(self._render_jit)
         trainer = self.gs_trainer
         b = trainer.batch
         n_train = self.loader.num_train
