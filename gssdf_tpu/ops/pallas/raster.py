@@ -48,6 +48,7 @@ Gradient semantics intentionally mirror JAX's vjp of the pure-JAX reference
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -64,6 +65,15 @@ from ...gs.rasterize_jax import (
 )
 
 _INTERPRET = False  # set True to run the kernels in interpreter mode (tests)
+
+# V3 chunk math (GSSDF_RASTER_V3=1): plane construction rides the MXU as one
+# [P, 3] @ [3, 5*ch] dot (vs ~21 [P, ch] VPU mul/adds), and the exclusive
+# transmittance t_ex comes straight from a STRICT-prefix matmul + one exp
+# (killing the [P, ch] divide t_in/(1-alpha)). Mathematically identical;
+# individual f32 roundings differ by ~1 ulp, so discrete gates can flip on
+# exact knife edges (measure-zero). Forward and backward share the same
+# helpers, so the bwd weight replay stays bit-exact either way.
+_V3 = os.environ.get("GSSDF_RASTER_V3", "0") == "1"
 
 F_ROWS = 24          # padded feature rows in the entry table
 CHUNK = 128          # entry-list chunk width (lane dimension)
@@ -115,6 +125,13 @@ def _tri_mats(c: int):
     return (r <= cc).astype(jnp.float32), (r > cc).astype(jnp.float32)
 
 
+def _tri_strict_upper(c: int):
+    """Strict-prefix [C, C] matmul: dot(x, m)[_, c] = sum_{k<c} x_k."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
+    return (r < cc).astype(jnp.float32)
+
+
 def _tile_pixels(t, tiles_x: int, tile_size: int):
     """Pixel-center columns (pxc, pyc) [P, 1] for tile index t."""
     p = tile_size * tile_size
@@ -132,27 +149,53 @@ def _chunk_planes(ent, pxc, pyc):
     ent [F_ROWS, ch]; pxc/pyc [P, 1]. Returns a dict of [P, ch] planes and
     masks shared by the forward and the analytic backward.
     """
-    A0, A1, A2 = ent[0][None], ent[1][None], ent[2][None]      # [1, ch]
-    B0, B1, B2 = ent[3][None], ent[4][None], ent[5][None]
-    C0, C1, C2 = ent[6][None], ent[7][None], ent[8][None]
-    dA, dB, dC = ent[9][None], ent[10][None], ent[11][None]
     mx, my = ent[12][None], ent[13][None]
     opa = ent[14][None]
+    dx = pxc - mx                          # (bwd d_mx/d_my; DCE'd in fwd)
+    dy = pyc - my
 
-    sx = A0 + pxc * B0 + pyc * C0          # [P, ch]
-    sy = A1 + pxc * B1 + pyc * C1
-    sz = A2 + pxc * B2 + pyc * C2
+    if _V3:
+        # four affine planes in one MXU pass: [P, 3] @ [3, 4*ch]. rho2d
+        # stays on the VPU from dx/dy — a |pix|^2 + quad-plane matmul form
+        # loses ~6 digits to cancellation (px^2 ~ 1e6 vs dx^2 ~ 1).
+        ch = ent.shape[-1]
+        w0 = jnp.concatenate(
+            [ent[0:1], ent[1:2], ent[2:3], ent[9:10]], axis=1
+        )
+        w1 = jnp.concatenate(
+            [ent[3:4], ent[4:5], ent[5:6], ent[10:11]], axis=1
+        )
+        w2 = jnp.concatenate(
+            [ent[6:7], ent[7:8], ent[8:9], ent[11:12]], axis=1
+        )
+        Wm = jnp.concatenate([w0, w1, w2], axis=0)          # [3, 4*ch]
+        Q = jnp.concatenate(
+            [jnp.ones_like(pxc), pxc, pyc], axis=1
+        )                                                   # [P, 3]
+        P4 = _dot(Q, Wm)                                    # [P, 4*ch]
+        sx = P4[:, 0:ch]
+        sy = P4[:, ch:2 * ch]
+        sz = P4[:, 2 * ch:3 * ch]
+        Dlin = P4[:, 3 * ch:4 * ch]
+        rho2d = FILTER_INV_SQUARE * (dx * dx + dy * dy)
+    else:
+        A0, A1, A2 = ent[0][None], ent[1][None], ent[2][None]  # [1, ch]
+        B0, B1, B2 = ent[3][None], ent[4][None], ent[5][None]
+        C0, C1, C2 = ent[6][None], ent[7][None], ent[8][None]
+        dA, dB, dC = ent[9][None], ent[10][None], ent[11][None]
+        sx = A0 + pxc * B0 + pyc * C0      # [P, ch]
+        sy = A1 + pxc * B1 + pyc * C1
+        sz = A2 + pxc * B2 + pyc * C2
+        Dlin = dA + pxc * dB + pyc * dC
+        rho2d = FILTER_INV_SQUARE * (dx * dx + dy * dy)
+
     sz_ok = jnp.abs(sz) > 1e-9
     safe = jnp.where(sz_ok, sz, 1e-9)
     inv = 1.0 / safe
     s2 = sx * sx + sy * sy
     rho3d = s2 * (inv * inv)
-    dx = pxc - mx
-    dy = pyc - my
-    rho2d = FILTER_INV_SQUARE * (dx * dx + dy * dy)
     use3d = rho3d <= rho2d
     rho = jnp.minimum(rho3d, rho2d)
-    Dlin = dA + pxc * dB + pyc * dC
     depth = Dlin * inv
 
     a_raw = opa * jnp.exp(-0.5 * rho)
@@ -169,6 +212,28 @@ def _chunk_planes(ent, pxc, pyc):
     )
 
 
+def _transmit(log1m, alpha, cl0, u_incl):
+    """Weights from the log-transmittance chain, shared verbatim by the
+    forward and the backward replay: (w, t_ex, keep, cl_last[P, 1])."""
+    if _V3:
+        # strict-prefix matmul gives the EXCLUSIVE log-T directly: one exp
+        # yields t_ex with no [P, ch] division; t_in (keep gate only) is a
+        # multiply. cl carry stays the inclusive value.
+        u_strict = _tri_strict_upper(log1m.shape[-1])
+        cl_ex = cl0 + _tri_dot(log1m, u_strict)
+        t_ex = jnp.exp(cl_ex)
+        t_in = t_ex * (1.0 - alpha)
+        cl_last = cl_ex[:, -1:] + log1m[:, -1:]
+    else:
+        cl = cl0 + _tri_dot(log1m, u_incl)
+        t_in = jnp.exp(cl)                 # one exp: t_ex = t_in/(1-alpha)
+        t_ex = t_in / (1.0 - alpha)
+        cl_last = cl[:, -1:]
+    keep = t_in >= T_EPS
+    w = jnp.where(keep, t_ex * alpha, 0.0)
+    return w, t_ex, keep, cl_last
+
+
 def _chunk_fwd(ent, pxc, pyc, cl0, cw0, cwd0):
     """One forward chunk given [P, 1] carries (cl/cum-w/cum-wd at start).
 
@@ -180,11 +245,7 @@ def _chunk_fwd(ent, pxc, pyc, cl0, cw0, cwd0):
     u_incl, _ = _tri_mats(ent.shape[-1])
     depth, log1m, alpha = f["depth"], f["log1m"], f["alpha"]
 
-    cl = cl0 + _tri_dot(log1m, u_incl)     # global inclusive log-T
-    t_in = jnp.exp(cl)                     # one exp: t_ex = t_in/(1-alpha)
-    t_ex = t_in / (1.0 - alpha)
-    keep = t_in >= T_EPS
-    w = jnp.where(keep, t_ex * alpha, 0.0)
+    w, _, _, cl_last = _transmit(log1m, alpha, cl0, u_incl)
     wd = w * depth
 
     cum = cw0 + _tri_dot(w, u_incl)        # global inclusive weight prefix
@@ -207,7 +268,7 @@ def _chunk_fwd(ent, pxc, pyc, cl0, cw0, cwd0):
         [outc.T, acc[None], dmean[None], dmed[None], distort[None]], axis=0
     )                                                    # [10, P]
     wmax_row = jnp.max(w, axis=0)                        # [ch]
-    return out10, wmax_row, cl[:, -1:], cum[:, -1:], cum_wd[:, -1:]
+    return out10, wmax_row, cl_last, cum[:, -1:], cum_wd[:, -1:]
 
 
 def _chunk_bwd(ent, pxc, pyc, cl0, cw0, tot_w, tot_wd, sfx_wd, sfx_wg,
@@ -230,11 +291,7 @@ def _chunk_bwd(ent, pxc, pyc, cl0, cw0, tot_w, tot_wd, sfx_wd, sfx_wg,
     feats = ent[15:21]
 
     # exact replay of the forward weight math from the stored carries
-    cl = cl0 + _tri_dot(log1m, u_incl)
-    t_in = jnp.exp(cl)
-    t_ex = t_in / (1.0 - alpha)
-    keep = t_in >= T_EPS
-    w = jnp.where(keep, t_ex * alpha, 0.0)
+    w, t_ex, keep, _ = _transmit(log1m, alpha, cl0, u_incl)
     wd = w * depth
     cum = cw0 + _tri_dot(w, u_incl)
     a_ex = cum - w
