@@ -1,0 +1,364 @@
+"""Outdoor/LiDAR-branch validation on a synthetic campus-style scene.
+
+VERDICT r03 item 7: the sky/outdoor configuration (sky splat init + far
+plane, sh_degree 3, FAST-LIVO exported-bag layout — reference
+neural_gaussian.cpp:334-401, config/fast_livo/campus.yaml + fast_livo.yaml)
+had only toy-test coverage. This drives it at a real budget on a
+procedurally ray-traced outdoor scene: ground plane + three buildings
+under an open sky, LiDAR point clouds in the sensor frame with a separate
+depth-pose stream, camera-only sky pixels (no LiDAR return), llff-style
+every-8th-frame eval split.
+
+Usage:  python scripts/validate_outdoor.py [--sdf-iters N] [--gs-iters N]
+        [--frames N] [--smoke] [--cpu] [--resume RUN_DIR]
+"""
+
+import argparse
+import json
+import shutil
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path.cwd()))
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+W, H = 640, 512
+FX = FY = 500.0
+CX, CY = W / 2 - 0.5, H / 2 - 0.5
+GROUND_Y = 1.6
+MAX_RANGE = 60.0
+
+# buildings: (center, half-extents) sitting on the ground plane
+BUILDINGS = [
+    ((-5.5, GROUND_Y - 2.5, 12.0), (2.0, 2.5, 2.0)),
+    ((6.0, GROUND_Y - 3.0, 18.0), (2.5, 3.0, 2.5)),
+    ((-1.5, GROUND_Y - 1.0, 24.0), (1.5, 1.0, 1.5)),
+]
+
+
+def _ray_hits(o, d):
+    """Nearest hit over ground+buildings. o [3], d [N, 3] unit.
+    Returns (t, hit_id) with hit_id -1 = sky (no return)."""
+    t_best = np.full(d.shape[0], np.inf)
+    hit_id = np.full(d.shape[0], -1, np.int32)
+
+    def take(t, cond, idx):
+        sel = cond & (t > 0.2) & (t < t_best) & (t < MAX_RANGE)
+        t_best[sel] = t[sel]
+        hit_id[sel] = idx
+
+    ty = (GROUND_Y - o[1]) / np.where(np.abs(d[:, 1]) > 1e-9, d[:, 1], 1e-9)
+    take(ty, d[:, 1] > 1e-6, 0)
+    d_safe = np.where(np.abs(d) > 1e-9, d, 1e-9)
+    for bi, (c, he) in enumerate(BUILDINGS):
+        c, he = np.asarray(c), np.asarray(he)
+        t1 = (c - he - o) / d_safe
+        t2 = (c + he - o) / d_safe
+        tn = np.minimum(t1, t2).max(axis=1)
+        tf = np.maximum(t1, t2).min(axis=1)
+        take(tn, (tn < tf) & (tf > 0), 1 + bi)
+    return t_best, hit_id
+
+
+def _sky_color(d):
+    """View-consistent sky: gradient from horizon haze to zenith blue."""
+    up = np.clip(-d[:, 1], 0.0, 1.0)  # -y is up
+    zen = np.array([0.25, 0.45, 0.85])
+    hor = np.array([0.85, 0.88, 0.92])
+    return hor[None] * (1 - up[:, None]) + zen[None] * up[:, None]
+
+
+def _surface_color(pts, hit_id):
+    col = np.zeros((len(pts), 3))
+    x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    m = hit_id == 0  # ground: paving stripes
+    st = ((np.floor(x * 1.2) + np.floor(z * 1.2)) % 2).astype(bool)
+    col[m & st] = (0.45, 0.42, 0.40)
+    col[m & ~st] = (0.62, 0.58, 0.52)
+    pals = [((0.75, 0.3, 0.2), (0.9, 0.85, 0.75)),
+            ((0.25, 0.4, 0.65), (0.85, 0.85, 0.88)),
+            ((0.3, 0.55, 0.3), (0.9, 0.9, 0.6))]
+    for bi in range(len(BUILDINGS)):
+        m = hit_id == 1 + bi
+        ch = ((np.floor(x * 1.5) + np.floor(y * 1.5) + np.floor(z * 1.5))
+              % 2).astype(bool)
+        a, b = np.asarray(pals[bi][0]), np.asarray(pals[bi][1])
+        col[m & ch] = a
+        col[m & ~ch] = b
+    return col
+
+
+def _poses(n_frames):
+    """Forward walk with lateral sway + yaw; separate displaced LiDAR pose
+    (the exported T_B_L-composed stream, rosbag layout)."""
+    rng = np.random.RandomState(5)
+    color_poses, depth_poses = [], []
+    for i in range(n_frames):
+        f = i / max(n_frames - 1, 1)
+        ang = 0.18 * np.sin(2 * np.pi * f * 1.5)
+        pose = np.eye(4)
+        cya, sya = np.cos(ang), np.sin(ang)
+        pose[:3, :3] = np.array([[cya, 0, sya], [0, 1, 0], [-sya, 0, cya]])
+        pose[0, 3] = 1.2 * np.sin(2 * np.pi * f)
+        pose[1, 3] = 0.05 * rng.randn()
+        pose[2, 3] = 10.0 * f
+        color_poses.append(pose)
+        dpose = pose.copy()
+        dpose[:3, 3] += pose[:3, :3] @ np.array([0.04, 0.02, -0.03])
+        depth_poses.append(dpose)
+    return color_poses, depth_poses
+
+
+def make_dataset(root: Path, n_frames: int, lidar_pts: int):
+    import cv2
+
+    from gssdf_tpu.utils.ply import write_ply_xyz
+
+    (root / "images").mkdir(parents=True)
+    (root / "depths").mkdir()
+    ys, xs = np.meshgrid(np.arange(H) + 0.5, np.arange(W) + 0.5, indexing="ij")
+    dirs_cam = np.stack(
+        [(xs - CX) / FX, (ys - CY) / FY, np.ones_like(xs)], -1
+    ).reshape(-1, 3)
+    dirs_cam /= np.linalg.norm(dirs_cam, axis=1, keepdims=True)
+
+    color_poses, depth_poses = _poses(n_frames)
+    rng = np.random.RandomState(7)
+    for i, (pose, dpose) in enumerate(zip(color_poses, depth_poses)):
+        d_w = dirs_cam @ pose[:3, :3].T
+        t, hid = _ray_hits(pose[:3, 3], d_w)
+        col = _sky_color(d_w)
+        hit = hid >= 0
+        pts = pose[:3, 3][None] + d_w * np.where(hit, t, 1.0)[:, None]
+        col[hit] = _surface_color(pts[hit], hid[hit])
+        img = (np.clip(col, 0, 1) * 255).astype(np.uint8).reshape(H, W, 3)
+        cv2.imwrite(str(root / "images" / f"{i:06d}.png"),
+                    cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+
+        # LiDAR: random frustum-ish directions from the DEPTH pose; sky
+        # rays produce no return (dropped) — the real outdoor signature
+        ld = np.stack([rng.uniform(-0.9, 0.9, lidar_pts),
+                       rng.uniform(-0.55, 0.7, lidar_pts),
+                       np.ones(lidar_pts)], axis=1)
+        ld /= np.linalg.norm(ld, axis=1, keepdims=True)
+        ld_w = ld @ dpose[:3, :3].T
+        t, hid = _ray_hits(dpose[:3, 3], ld_w)
+        keep = hid >= 0
+        p_w = dpose[:3, 3][None] + ld_w[keep] * t[keep, None]
+        R, tr = dpose[:3, :3], dpose[:3, 3]
+        write_ply_xyz(root / "depths" / f"{i:06d}.ply",
+                      ((p_w - tr[None]) @ R).astype(np.float32))
+
+    def wposes(path, poses):
+        with open(path, "w") as f:
+            for p in poses:
+                for row in p:
+                    f.write(" ".join(str(x) for x in row) + "\n")
+
+    wposes(root / "color_poses.txt", color_poses)
+    wposes(root / "depth_poses.txt", depth_poses)
+    print(f"dataset: {n_frames} outdoor frames at {root}")
+
+
+def gt_surface_points(n: int = 2_000_000) -> np.ndarray:
+    """Samples of the observed surfaces (camera-facing building faces +
+    the ground corridor) for chamfer."""
+    rng = np.random.RandomState(11)
+    pts = []
+    n1 = n // 2
+    pts.append(np.stack([
+        rng.uniform(-9, 9, n1), np.full(n1, GROUND_Y),
+        rng.uniform(1.5, 28.0, n1)], -1))
+    per = (n - n1) // len(BUILDINGS)
+    for c, he in BUILDINGS:
+        c, he = np.asarray(c), np.asarray(he)
+        m = per
+        face = rng.randint(0, 5, m)          # skip bottom (4 sides + top)
+        u = rng.uniform(-1, 1, (m, 3))
+        # faces: 0:-x 1:+x 2:front(-z) 3:back(+z) 4:top(-y)
+        u[face == 0, 0] = -1.0
+        u[face == 1, 0] = 1.0
+        u[face == 2, 2] = -1.0
+        u[face == 3, 2] = 1.0
+        u[face == 4, 1] = -1.0
+        pts.append(c[None] + he[None] * u)
+    return np.concatenate(pts).astype(np.float32)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sdf-iters", type=int, default=None)
+    ap.add_argument("--gs-iters", type=int, default=None)
+    ap.add_argument("--frames", type=int, default=40)
+    ap.add_argument("--lidar-pts", type=int, default=20000)
+    ap.add_argument("--out", default="RESULTS_OUTDOOR_r04.md")
+    ap.add_argument("--root", default="/tmp/synth_outdoor")
+    ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--resume", default=None, metavar="RUN_DIR")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    if args.sdf_iters is None:
+        args.sdf_iters = 60 if args.smoke else 3000
+    if args.gs_iters is None:
+        args.gs_iters = 10 if args.smoke else 6000
+
+    root = Path(args.root)
+    shutil.rmtree(root, ignore_errors=True)
+    make_dataset(root, args.frames, 1500 if args.smoke else args.lidar_pts)
+
+    cfg_dir = root / "cfg"
+    cfg_dir.mkdir()
+    if args.smoke:
+        scale = """
+max_pt_num: 20000
+ds_pt_num: 4000
+batch_pt_num: 4096
+res_scale: 0.1
+leaf_sizes: 0.6
+gs_capacity: 16384
+tile_cap: 128
+export_resolution: 0.4
+sh_degree: 1
+"""
+    else:
+        scale = """
+max_pt_num: 2000000
+ds_pt_num: 400000
+batch_pt_num: 32768
+res_scale: 1.0
+leaf_sizes: 0.2
+tile_cap: 512
+gs_sdf_budget: 32768
+export_resolution: 0.1
+resume_interval: 1000
+sh_degree: 3
+"""
+    # campus-style config: FastLivo layout, sky init, white background,
+    # llff every-8th eval split (fast_livo.yaml:7-11, campus.yaml:7-11)
+    (cfg_dir / "run.yaml").write_text(f"""
+dataset_type: 4
+camera:
+  fx: {FX}
+  fy: {FY}
+  cx: {CX}
+  cy: {CY}
+  width: {W}
+  height: {H}
+sdf_iter_step: {args.sdf_iters}
+gs_iter_step: {args.gs_iters}
+map:
+  map_size: 64
+min_range: 0.1
+max_range: {MAX_RANGE}
+sky_init: 1
+mesh_init: 1
+cull_mesh: 0
+llff: 1
+export_interval: 2000
+export_mesh: 1
+vis_attribute: 1
+preload: 1
+{scale}""")
+
+    from gssdf_tpu.config import load_config
+    from gssdf_tpu.train.pipeline import Pipeline
+    from gssdf_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    if args.resume:
+        cfg = load_config(cfg_dir / "run.yaml", root, make_run_dir=False)
+        cfg.output_path = str(Path(args.resume))
+        cfg.model_path = str(Path(args.resume) / "model")
+    else:
+        cfg = load_config(cfg_dir / "run.yaml", root, make_run_dir=True)
+    print("run dir:", cfg.output_path)
+    pipe = Pipeline(cfg)
+
+    t0 = time.time()
+    if args.resume:
+        t_occ = t_sdf = t_init = time.time()
+        pipe.resume_train()
+        t_gs = t_end = time.time()
+    else:
+        pipe.build_occ_map()
+        t_occ = time.time()
+        pipe.nsdf_train()
+        t_sdf = time.time()
+        pipe.export_checkpoint()
+        pipe.init_gs()
+        t_init = time.time()
+        pipe.gs_train()
+        t_gs = time.time()
+        pipe.end()
+        t_end = time.time()
+
+    verts, faces, _ = pipe.save_mesh(cfg.export_resolution, save=False)
+    from gssdf_tpu.eval.mesh_metrics import eval_mesh
+
+    metrics = eval_mesh(
+        verts, faces, gt_surface_points(),
+        down_sample_res=0.05, threshold=0.1,
+        truncation_acc=0.5, truncation_com=0.5,
+    )
+    ev = json.load(open(Path(cfg.output_path) / "gs_log" / "render_eval.json"))
+    summary = list(ev.values())[0]
+
+    lines = [
+        f"# {Path(args.out).stem} — outdoor/LiDAR-branch validation",
+        "",
+        "Scene: procedurally ray-traced outdoor campus (ground + 3 "
+        f"buildings + open sky), {args.frames} frames at {W}x{H}, LiDAR "
+        "clouds in the sensor frame (sky rays drop, separate depth-pose "
+        "stream), FAST-LIVO exported layout (dataset_type 4).",
+        f"Config: sky_init 1, sh_degree {3 if not args.smoke else 1}, "
+        f"leaf {cfg.leaf_size}, map_size 64, llff eval split"
+        + (" (SMOKE scale)" if args.smoke else "")
+        + " — campus.yaml/fast_livo.yaml analog.",
+        f"Budget: {args.sdf_iters} SDF + {args.gs_iters} GS iters, "
+        f"batch_pt_num {cfg.batch_pt_num}.",
+        "Hardware: "
+        + {
+            "tpu": "one v5e chip (axon)",
+            "axon": "one v5e chip (axon)",
+        }.get(
+            __import__("jax").default_backend(),
+            f"{__import__('jax').default_backend()} backend "
+            "(NOT a chip measurement)",
+        )
+        + ".",
+        "",
+        "| stage | wall clock |",
+        "|---|---|",
+        f"| occupancy/build | {t_occ - t0:.0f} s |",
+        f"| SDF phase ({args.sdf_iters} iters) | {t_sdf - t_occ:.0f} s |",
+        f"| GS init | {t_init - t_sdf:.0f} s |",
+        f"| joint GS phase ({args.gs_iters} iters) | {t_gs - t_init:.0f} s |",
+        f"| exports/eval | {t_end - t_gs:.0f} s |",
+        f"| TOTAL | {t_end - t0:.0f} s |",
+        "",
+        "| metric | value |",
+        "|---|---|",
+    ]
+    for split, vals in ev.items():
+        name = Path(split).name
+        lines += [f"| {name} PSNR | {vals['PSNR']:.2f} dB |",
+                  f"| {name} SSIM | {vals['SSIM']:.4f} |"]
+    lines += [f"| {k} | {v:.3f} |" for k, v in metrics.items()]
+    lines += [
+        "",
+        f"Splats: {int(np.asarray(pipe.gs_state.alive).sum())} alive.",
+        f"Run dir: {cfg.output_path}",
+    ]
+    Path(args.out).write_text("\n".join(lines) + "\n")
+    print("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()
