@@ -178,10 +178,12 @@ class Config:
     refine_every: int = 100
     reset_alpha_every: int = 30
     pause_refine: bool = False
-    # parsed for config compatibility; densification always uses the signed
-    # accumulated means2d gradient. The reference defaults this off and
-    # advises against it for 2DGS (config/base.yaml:74), so the absgrad
-    # accumulation variant is an accepted divergence (ARCHITECTURE.md).
+    # gsplat absgrad densify variant: densify statistics accumulate
+    # per-tile-entry |screen grad| instead of the signed splat sum (the
+    # TPU analog of gsplat's per-pixel absgrad; train/gs.py). The
+    # reference defaults it off and advises against it for 2DGS — pair
+    # with a higher grow_grad2d (~0.0008) when enabling
+    # (config/base.yaml:74, neural_gaussian.cpp:215-217,629-630).
     use_absgrad: bool = False
 
     # --- visualization / export ---

@@ -306,13 +306,20 @@ def update_densify_state(
     width: int,
     height: int,
     n_cameras: int = 1,
+    g_pixdelta_abs: Optional[jnp.ndarray] = None,  # [C, 2] absgrad variant
 ) -> DensifyState:
     """update_state (neural_gaussian.cpp:626-680): accumulate screen-space
-    gradient norms scaled by W/2, H/2, visibility count/max."""
+    gradient norms scaled by W/2, H/2, visibility count/max.
+
+    ``g_pixdelta_abs``: when the absgrad densify variant is on
+    (k_use_absgrad, neural_gaussian.cpp:629-630), the per-splat sum of
+    per-tile-entry |screen grad| replaces the signed gradient in the norm
+    — same W/2, H/2 scaling as the reference's shared update_state path."""
+    g_src = g_pixdelta if g_pixdelta_abs is None else g_pixdelta_abs
     g = jnp.stack(
         [
-            g_pixdelta[:, 0] * (width * 0.5 * n_cameras),
-            g_pixdelta[:, 1] * (height * 0.5 * n_cameras),
+            g_src[:, 0] * (width * 0.5 * n_cameras),
+            g_src[:, 1] * (height * 0.5 * n_cameras),
         ],
         -1,
     )

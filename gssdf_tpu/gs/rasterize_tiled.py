@@ -290,6 +290,7 @@ def rasterize_tiled(
     tile_expand_small: int = 0,
     tile_batch: int = 16,
     pix_delta: Optional[jnp.ndarray] = None,
+    entry_pix_delta: Optional[jnp.ndarray] = None,
     background: Optional[jnp.ndarray] = None,
     impl: str = "auto",
     need_vis: bool = True,
@@ -303,6 +304,17 @@ def rasterize_tiled(
     ``need_vis=False`` skips the per-splat visibility/membership reduction
     (a [T*cap]-row sorted segment-max) — eval/novel-view renders don't
     consume it; ``visibilities`` comes back zero and ``binned`` all-True.
+
+    ``entry_pix_delta`` [num_tiles, tile_cap, 2] (zeros): a PER-TILE-ENTRY
+    pixel-space shift folded into the gathered entry coefficients with the
+    same algebra splat_coeffs uses for ``pix_delta``. Its gradient is the
+    per-(splat, tile) screen-space densify gradient BEFORE the entry->splat
+    summation — the tap for the ``use_absgrad`` densify variant (gsplat's
+    absgrad, enabled at neural_gaussian.cpp:215-217,629-630; per-tile
+    granularity is the TPU analog of gsplat's per-pixel |grad|
+    accumulation). When given, the output dict gains ``tile_lists``
+    [num_tiles, tile_cap] (entry -> splat id, sentinel n) so callers can
+    segment-reduce |grad| per splat.
     """
     n = means2d.shape[0]
     tiles_x = _cdiv(width, tile_size)
@@ -379,6 +391,27 @@ def rasterize_tiled(
             ),
             -1, -2,
         )
+        if entry_pix_delta is not None:
+            # entry-level pixel shift, same fold as splat_coeffs: its
+            # cotangent = per-tile-entry densify gradient (absgrad tap).
+            # Sentinel rows have B=C=dB=dC=0 and opa=0, so the fold is
+            # inert there.
+            dxl = jnp.swapaxes(entry_pix_delta[..., 0:1], -1, -2)  # [T,1,C]
+            dyl = jnp.swapaxes(entry_pix_delta[..., 1:2], -1, -2)
+            entries_t = jnp.concatenate(
+                [
+                    entries_t[:, 0:3]
+                    - dxl * entries_t[:, 3:6] - dyl * entries_t[:, 6:9],
+                    entries_t[:, 3:9],
+                    entries_t[:, 9:10]
+                    - dxl * entries_t[:, 10:11] - dyl * entries_t[:, 11:12],
+                    entries_t[:, 10:12],
+                    entries_t[:, 12:13] + dxl,
+                    entries_t[:, 13:14] + dyl,
+                    entries_t[:, 14:],
+                ],
+                axis=1,
+            )
         # kt tiles per composite grid step (GSSDF_RASTER_KT, default 1):
         # identical per-tile math/skip, amortized step overhead — opt-in
         # until chip-validated (the raster_v2 rule)
@@ -409,6 +442,7 @@ def rasterize_tiled(
         # pad tile count to a multiple of tile_batch with sentinel-only tiles
         nb = _cdiv(num_tiles, tile_batch)
         pad_tiles = nb * tile_batch - num_tiles
+        tile_lists_unpadded = tile_lists
         if pad_tiles:
             tile_lists = jnp.concatenate(
                 [tile_lists, jnp.full((pad_tiles, tile_cap), n, jnp.int32)]
@@ -420,6 +454,28 @@ def rasterize_tiled(
         entries = table_gather(table, tile_lists.reshape(-1)).reshape(
             nb, tile_batch, tile_cap, table.shape[-1]
         )
+        if entry_pix_delta is not None:
+            epd = entry_pix_delta
+            if pad_tiles:
+                epd = jnp.concatenate(
+                    [epd, jnp.zeros((pad_tiles, tile_cap, 2), epd.dtype)]
+                )
+            epd = epd.reshape(nb, tile_batch, tile_cap, 2)
+            dx, dy = epd[..., 0:1], epd[..., 1:2]
+            entries = jnp.concatenate(
+                [
+                    entries[..., 0:3]
+                    - dx * entries[..., 3:6] - dy * entries[..., 6:9],
+                    entries[..., 3:9],
+                    entries[..., 9:10]
+                    - dx * entries[..., 10:11] - dy * entries[..., 11:12],
+                    entries[..., 10:12],
+                    entries[..., 12:13] + dx,
+                    entries[..., 13:14] + dy,
+                    entries[..., 14:],
+                ],
+                axis=-1,
+            )
 
         lx = jnp.arange(tile_size, dtype=jnp.float32)
         pix_dx = jnp.tile(lx, tile_size) + 0.5           # [ts2] within-tile x
@@ -490,7 +546,11 @@ def rasterize_tiled(
 
     binned = vis_m[:n] > 0.5
     vis = jnp.where(vis_m > 0.5, vis_m - 1.0, 0.0)
-    return {
+    extra = {}
+    if entry_pix_delta is not None:
+        tl = tile_lists if use_pallas else tile_lists_unpadded
+        extra["tile_lists"] = jax.lax.stop_gradient(tl)
+    return extra | {
         "color": color,
         "normal": normal,
         "alpha": acc,

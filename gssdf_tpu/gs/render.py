@@ -57,6 +57,7 @@ def render_splats(
     training: bool = True,
     key: Optional[jax.Array] = None,       # disk samples + random background
     pix_delta: Optional[jnp.ndarray] = None,  # [C, 2] densify tap
+    entry_pix_delta: Optional[jnp.ndarray] = None,  # [T, cap, 2] absgrad tap
     center_reg: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Returns dict with [H, W, .] images and per-splat meta:
@@ -114,6 +115,7 @@ def render_splats(
         tile_expand_small=settings.tile_expand_small,
         tile_batch=settings.tile_batch,
         pix_delta=pix_delta,
+        entry_pix_delta=entry_pix_delta,
         # eval/novel-view renders never consume the per-splat visibility
         # reduction (pruning statistics + GS->SDF vis mask are train-only,
         # neural_mapping.cpp:426-430) — skip its [T*cap]-row segment-max
@@ -160,4 +162,6 @@ def render_splats(
         "drop_vis": res["drop_vis"],
         "chunk_active": res["chunk_active"],
         "clamp_frac": res["clamp_frac"],
+        **({"tile_lists": res["tile_lists"]}
+           if "tile_lists" in res else {}),
     }

@@ -24,7 +24,7 @@ from ..fields.occupancy import OccupancyGrid, valid_mask
 from ..fields.sampling import RayBatch, compact_samples, sample_points
 from ..fields.sdf_field import MapGeometry, sdf_apply, sdf_apply_with_grad
 from ..gs.model import SplatModel
-from ..ops.pallas.segsum import table_gather
+from ..ops.pallas.segsum import segment_sum, table_gather
 from ..gs.render import render_splats
 from ..sensors.cameras import Camera
 from .. import losses
@@ -156,7 +156,7 @@ def make_multicam_gs_train_step(
 
         c = state.alive.shape[0]
 
-        def loss_fn(params, pix_delta_b):
+        def loss_fn(params, pix_delta_b, entry_pd_b=None):
             aux: Dict[str, jnp.ndarray] = {}
             sdf_p = params["sdf"]
             model = SplatModel(
@@ -182,10 +182,11 @@ def make_multicam_gs_train_step(
                 and not spec.sdf.numerical_grad
             )
 
-            def per_cam(gt, pose, pdel, ck, creg, csel):
+            def per_cam(gt, pose, pdel, epd, ck, creg, csel):
                 render = render_splats(
                     model, pose, K, rsettings, training=True, key=ck,
-                    pix_delta=pdel, center_reg=spec.center_reg,
+                    pix_delta=pdel, entry_pix_delta=epd,
+                    center_reg=spec.center_reg,
                 )
                 gs_loss, img_aux = gs_image_losses(
                     render, gt, params["gs"].scaling, render["visible"],
@@ -266,15 +267,25 @@ def make_multicam_gs_train_step(
                         )
                         gs_sdf_terms["gs_mask"] = m
                 meta = (render["radii"], render["visibilities"],
-                        render["visible"] & render["binned"])
+                        render["visible"] & render["binned"],
+                        render.get("tile_lists"))
                 return gs_loss, img_aux, gs_sdf_terms, sdf_cam, meta
 
             reg_keys = (
                 kreg_gs[None] if b == 1 else jax.random.split(kreg_gs, b)
             )
+            epd_b = (
+                entry_pd_b if entry_pd_b is not None
+                else jnp.zeros((b, 0, 0, 2), jnp.float32)
+            )
             gs_losses_b, img_aux_b, gs_sdf_b, sdf_cam_b, meta_b = jax.vmap(
-                per_cam
-            )(gt_images, poses, pix_delta_b, cam_keys, reg_keys, sel_keys)
+                lambda gt, pose, pdel, epd, ck, creg, csel: per_cam(
+                    gt, pose, pdel,
+                    epd if entry_pd_b is not None else None,
+                    ck, creg, csel,
+                )
+            )(gt_images, poses, pix_delta_b, epd_b, cam_keys, reg_keys,
+              sel_keys)
             gs_loss = jnp.mean(gs_losses_b)
             aux.update({k: jnp.mean(v) for k, v in img_aux_b.items()})
             if spec.gs_sdf_reg and "gs_sdf" in gs_sdf_b:
@@ -311,11 +322,29 @@ def make_multicam_gs_train_step(
             return total, (aux, meta_b)
 
         pix_delta0 = jnp.zeros((b, c, 2), jnp.float32)
-        (loss, (aux, meta_b)), grads = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True
-        )(state.params, pix_delta0)
-        g_params, g_pixdelta = grads
-        radii_b, vis_b, visible_b = meta_b
+        if spec.use_absgrad:
+            ts = spec.render.tile_size
+            ntl = (-(-spec.render.width // ts)) * (-(-spec.render.height // ts))
+            epd0 = jnp.zeros((b, ntl, spec.render.tile_cap, 2), jnp.float32)
+            (loss, (aux, meta_b)), grads = jax.value_and_grad(
+                loss_fn, argnums=(0, 1, 2), has_aux=True
+            )(state.params, pix_delta0, epd0)
+            g_params, g_pixdelta, g_epd_b = grads
+            radii_b, vis_b, visible_b, tl_b = meta_b
+            # per-cam per-entry |screen grad| summed per splat (sentinel
+            # slot c dropped) — same semantics as the single-device step
+            gabs_b = jax.vmap(
+                lambda tl, ge: segment_sum(
+                    tl.reshape(-1), jnp.abs(ge).reshape(-1, 2), c + 1
+                )[:c]
+            )(tl_b, g_epd_b)
+        else:
+            (loss, (aux, meta_b)), grads = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True
+            )(state.params, pix_delta0)
+            g_params, g_pixdelta = grads
+            radii_b, vis_b, visible_b, _ = meta_b
+            gabs_b = jnp.zeros((b, c, 2), jnp.float32)
 
         lr_tree = gs_lr_tree(
             spec, state.params["sdf"], sdf_lr, xyz_lr, color_only
@@ -325,12 +354,13 @@ def make_multicam_gs_train_step(
         # accumulate densify stats over all B cameras
         dstate = state.dstate
         def body(ds, xs):
-            g, r, v, vb = xs
+            g, ga, r, v, vb = xs
             return update_densify_state(
-                ds, g, r, v, vb, spec.render.width, spec.render.height
+                ds, g, r, v, vb, spec.render.width, spec.render.height,
+                g_pixdelta_abs=ga if spec.use_absgrad else None,
             ), None
         dstate2, _ = jax.lax.scan(
-            body, dstate, (g_pixdelta, radii_b, vis_b, visible_b)
+            body, dstate, (g_pixdelta, gabs_b, radii_b, vis_b, visible_b)
         )
 
         aux["loss"] = loss

@@ -39,7 +39,7 @@ from ..gs.model import (
     update_densify_state,
 )
 from ..gs.render import RenderSettings, render_splats
-from ..ops.pallas.segsum import table_gather
+from ..ops.pallas.segsum import segment_sum, table_gather
 from ..sensors.cameras import Camera, depth_to_normal
 from .optim import AdamState, adam_init, adam_update
 from .sdf import (
@@ -90,6 +90,13 @@ class GSTrainSpec:
     gs_iter_step: int = 30000
     lr: float = 5e-3            # SDF lr ceiling during joint phase: k_lr_end
     lr_end: float = 1e-4
+    # gsplat absgrad densify variant (k_use_absgrad, neural_gaussian.cpp:
+    # 215-217,629-630): densify statistics accumulate per-TILE-ENTRY
+    # |screen grad| (before the entry->splat sum, so opposing tile
+    # gradients cannot cancel) — the TPU analog of gsplat's per-pixel
+    # absgrad. Reference defaults it off and advises against it for 2DGS
+    # (config/base.yaml:74); pair with a higher grow_grad2d (~0.0008).
+    use_absgrad: bool = False
 
 
 class GSState(NamedTuple):
@@ -332,7 +339,7 @@ def make_gs_train_step(
 
         c = state.alive.shape[0]
 
-        def loss_fn(params, pix_delta):
+        def loss_fn(params, pix_delta, entry_pd=None):
             aux: Dict[str, jnp.ndarray] = {}
             sdf_p = params["sdf"]
             model = SplatModel(
@@ -357,6 +364,7 @@ def make_gs_train_step(
                 training=True,
                 key=krender,
                 pix_delta=pix_delta,
+                entry_pix_delta=entry_pd,
                 center_reg=spec.center_reg,
             )
 
@@ -494,15 +502,34 @@ def make_gs_train_step(
                 render["radii"],
                 render["visibilities"],
                 render["visible"] & render["binned"],
+                render.get("tile_lists"),
             )
             return total, (aux, out_meta)
 
         pix_delta0 = jnp.zeros((c, 2), jnp.float32)
-        (loss, (aux, meta)), grads = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True
-        )(state.params, pix_delta0)
-        g_params, g_pixdelta = grads
-        radii, visibilities, visible = meta
+        if spec.use_absgrad:
+            ts = spec.render.tile_size
+            ntl = _cdiv(spec.render.width, ts) * _cdiv(spec.render.height, ts)
+            epd0 = jnp.zeros((ntl, spec.render.tile_cap, 2), jnp.float32)
+            (loss, (aux, meta)), grads = jax.value_and_grad(
+                loss_fn, argnums=(0, 1, 2), has_aux=True
+            )(state.params, pix_delta0, epd0)
+            g_params, g_pixdelta, g_epd = grads
+            radii, visibilities, visible, tile_lists = meta
+            # per-entry |screen grad| summed per splat (cannot cancel
+            # across tiles) — slot c is the sentinel row, dropped
+            g_absgrad = segment_sum(
+                tile_lists.reshape(-1),
+                jnp.abs(g_epd).reshape(-1, 2),
+                c + 1,
+            )[:c]
+        else:
+            (loss, (aux, meta)), grads = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True
+            )(state.params, pix_delta0)
+            g_params, g_pixdelta = grads
+            radii, visibilities, visible, _ = meta
+            g_absgrad = None
 
         lr_tree = gs_lr_tree(spec, state.params["sdf"], sdf_lr, xyz_lr, color_only)
         params2, opt2 = adam_update(g_params, state.opt, state.params, lr_tree)
@@ -515,6 +542,7 @@ def make_gs_train_step(
             visible,
             spec.render.width,
             spec.render.height,
+            g_pixdelta_abs=g_absgrad,
         )
         aux["loss"] = loss
         new_state = GSState(
@@ -629,6 +657,10 @@ def sdf_lr_at(spec: GSTrainSpec, xyz_lr: float) -> float:
     if spec.detach_sdf_grad:
         return 0.0
     return min(xyz_lr, spec.lr_end)
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
 
 
 def _crossed(iter_num: int, stride: int, every: int) -> bool:

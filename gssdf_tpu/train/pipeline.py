@@ -450,6 +450,7 @@ class Pipeline:
             gs_iter_step=cfg.gs_iter_step,
             lr=cfg.lr,
             lr_end=cfg.lr_end,
+            use_absgrad=cfg.use_absgrad,
         )
 
     def gs_train(self, iters: Optional[int] = None, log_every: int = 10,
