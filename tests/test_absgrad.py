@@ -87,6 +87,45 @@ def test_signed_entry_grads_sum_to_pix_delta_grad():
     )
 
 
+def test_pallas_branch_fold_matches_xla_branch():
+    """The lane-major entry fold (pallas branch) must agree with the
+    row-major one (xla branch) — run via interpreter-mode kernels."""
+    from gssdf_tpu.ops.pallas import raster as R
+
+    means, quats, scales, opac, colors = _scene(48, 1)
+    proj = project_2dgs(means, quats, scales, EYE4, K, W, H, 0.01, 100.0)
+    ntl = (-(-W // 16)) * (-(-H // 16))
+    key = jax.random.PRNGKey(11)
+    epd = 0.3 * jax.random.normal(key, (ntl, 128, 2))
+    tgt = jax.random.uniform(jax.random.PRNGKey(7), (H, W, 3))
+
+    def loss(impl):
+        def f(entry_pd):
+            out = rasterize_tiled(
+                proj.means2d, proj.M, proj.depths, proj.normals, colors,
+                opac, proj.valid, proj.radii, W, H,
+                tile_cap=128, tile_expand=32, tile_expand_small=8,
+                entry_pix_delta=entry_pd, impl=impl)
+            return (jnp.mean(jnp.abs(out["color"] - tgt)),
+                    out["color"])
+        return f
+
+    lx, cx = loss("xla")(epd)
+    R._INTERPRET = True
+    try:
+        lp, cp = loss("pallas")(epd)
+    finally:
+        R._INTERPRET = False
+    np.testing.assert_allclose(np.asarray(cp), np.asarray(cx), atol=2e-4)
+    gx = jax.grad(lambda e: loss("xla")(e)[0])(epd)
+    R._INTERPRET = True
+    try:
+        gp = jax.grad(lambda e: loss("pallas")(e)[0])(epd)
+    finally:
+        R._INTERPRET = False
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), atol=2e-4)
+
+
 def test_absgrad_dominates_signed_norm():
     n, g_pd, g_epd, tl = _grads()
     absg = segment_sum(
