@@ -271,12 +271,18 @@ def main():
         print(json.dumps(_headline), flush=True)
         return
 
-    from gssdf_tpu.utils.compile_cache import enable_compilation_cache
+    try:
+        from gssdf_tpu.utils.compile_cache import enable_compilation_cache
 
-    enable_compilation_cache()
+        enable_compilation_cache()
+        point = _build_render_point()
+    except Exception as e:  # noqa: BLE001 — setup failure must still emit
+        traceback.print_exc()
+        _headline["note"] = f"bench setup failed: {e!r}"
+        print(json.dumps(_headline), flush=True)
+        return
 
     sections = []
-    point = _build_render_point()
     sections.append(("render_fwd_bwd", lambda: bench_render_fwd_bwd(point)))
     sections.append(("render_fwd", lambda: bench_render_fwd(point)))
     sections.append(("sdf", bench_sdf))

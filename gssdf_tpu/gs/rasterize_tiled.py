@@ -394,8 +394,9 @@ def rasterize_tiled(
         if entry_pix_delta is not None:
             # entry-level pixel shift, same fold as splat_coeffs: its
             # cotangent = per-tile-entry densify gradient (absgrad tap).
-            # Sentinel rows have B=C=dB=dC=0 and opa=0, so the fold is
-            # inert there.
+            # Sentinel rows stay inert because opa == 0 zeroes alpha and
+            # every gradient through it (their identity-M coeffs are NOT
+            # zero; the fold does shift their planes, harmlessly).
             dxl = jnp.swapaxes(entry_pix_delta[..., 0:1], -1, -2)  # [T,1,C]
             dyl = jnp.swapaxes(entry_pix_delta[..., 1:2], -1, -2)
             entries_t = jnp.concatenate(

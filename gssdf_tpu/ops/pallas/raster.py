@@ -67,7 +67,7 @@ from ...gs.rasterize_jax import (
 _INTERPRET = False  # set True to run the kernels in interpreter mode (tests)
 
 # V3 chunk math (GSSDF_RASTER_V3=1): plane construction rides the MXU as one
-# [P, 3] @ [3, 5*ch] dot (vs ~21 [P, ch] VPU mul/adds), and the exclusive
+# [P, 3] @ [3, 4*ch] dot (vs ~16 [P, ch] VPU mul/adds), and the exclusive
 # transmittance t_ex comes straight from a STRICT-prefix matmul + one exp
 # (killing the [P, ch] divide t_in/(1-alpha)). Mathematically identical;
 # individual f32 roundings differ by ~1 ulp, so discrete gates can flip on

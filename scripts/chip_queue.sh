@@ -24,14 +24,17 @@ for attempt in 1 2 3; do
   echo "[queue] resume attempt $attempt exited rc=$? at $(date +%H:%M:%S)"
 done
 
+# ALWAYS protect the newest snapshot before anything else (the r03a
+# lesson: an uncommitted snapshot dies with the driver's round-end clean)
+git add -f "$RUN/model/gs_resume.npz" 2>/dev/null
 if [ -f "$RUN/model/gs_done" ]; then
   echo "[queue] GS phase complete; snapshotting artifacts"
-  git add -f "$RUN/model/gs_resume.npz" 2>/dev/null
   git add -f "$RUN" 2>/dev/null
   git commit -q -m "Validation run complete: final artifacts" 2>/dev/null
 else
-  echo "[queue] GS phase STILL incomplete after retries; proceeding to"
-  echo "[queue] chip measurements anyway (builder will re-resume manually)"
+  echo "[queue] GS phase STILL incomplete after retries; committing the"
+  echo "[queue] newest snapshot and proceeding to chip measurements"
+  git commit -q -m "Validation run snapshot (incomplete GS phase)" 2>/dev/null
 fi
 
 run() {

@@ -132,9 +132,11 @@ print(f"  entry rows: {rows}")
 
 @jax.jit
 def f_sort(carry):
+    # chain: a data-dependent low bit feeds the next iteration's keys so
+    # the sort can be neither elided nor constant-folded (CLAUDE.md)
     k2_ = kk + carry
     sk, sp = jax.lax.sort((k2_, pp), num_keys=1, is_stable=False)
-    return (jnp.sum(sp) * 0).astype(jnp.int32)
+    return sp[0] & 1
 
 
 timeit("entry sort (unstable, packed key)", f_sort, jnp.int32(0))
@@ -148,6 +150,7 @@ rank_bits = min(max(N - 1, 1).bit_length(), 30 - (num_tiles + 1).bit_length())
 
 @jax.jit
 def f_table(carry):
+    # chain through the payloads (see f_sort)
     sp_ = sp0 + carry
     starts = jnp.searchsorted(
         sk0, jnp.arange(num_tiles + 1) << rank_bits, side="left")
@@ -159,7 +162,7 @@ def f_table(carry):
         lambda s: jax.lax.dynamic_slice(pay_pad, (s,), (CAP,))
     )(starts[:-1])
     tl = jnp.where(in_seg, vals, N)
-    return (jnp.sum(tl) * 0).astype(jnp.int32)
+    return tl[0, 0] & 1
 
 
 timeit("searchsorted + table build", f_table, jnp.int32(0))

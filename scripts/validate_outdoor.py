@@ -308,7 +308,6 @@ preload: 1
         truncation_acc=0.5, truncation_com=0.5,
     )
     ev = json.load(open(Path(cfg.output_path) / "gs_log" / "render_eval.json"))
-    summary = list(ev.values())[0]
 
     lines = [
         f"# {Path(args.out).stem} — outdoor/LiDAR-branch validation",
