@@ -1357,6 +1357,21 @@ class _FrameFetcher:
         self._pre = pre
         if preload and pre is None:
             self._pre = self.preload_stack(loader)
+        # Device-RESIDENT stack: per-iter jax.device_put of a fresh frame
+        # leaks host RSS at exactly frame-size/iter through the axon
+        # client (~2.4 MB/iter at 1200x680 — the r03b/r04 linear RSS
+        # creep; the r03 recompile diagnosis was wrong). When the whole
+        # preloaded stack fits a budget, ship it to the device ONCE and
+        # index it there — per-iter H2D drops to the 64 B pose.
+        self._dev_stack = None
+        if self._to_device and self._pre is not None:
+            import os
+
+            budget = float(os.environ.get("GSSDF_DEV_STACK_MB", "512"))
+            if self._pre[0].nbytes <= budget * 1e6:
+                import jax
+
+                self._dev_stack = jax.device_put(self._pre[0])
         self._q = queue.Queue(maxsize=depth)
         self._t = threading.Thread(target=self._produce, daemon=True)
         self._t.start()
@@ -1374,6 +1389,20 @@ class _FrameFetcher:
         try:
             for s in range(0, len(self.order), self.batch):
                 ks = self.order[s:s + self.batch]
+                if self._dev_stack is not None:
+                    import jax
+                    import jax.numpy as jnp
+
+                    g = jnp.take(
+                        self._dev_stack,
+                        jnp.asarray(np.asarray(ks, np.int32)),
+                        axis=0,
+                    )
+                    p = jax.device_put(
+                        np.stack([self._pre[1][k] for k in ks])
+                    )
+                    self._q.put((g, p))
+                    continue
                 gs, ps = zip(*(self._get(k) for k in ks))
                 g, p = np.stack(gs), np.stack(ps)
                 if self._to_device:
