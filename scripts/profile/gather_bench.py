@@ -122,4 +122,74 @@ for name, fn in (("pallas_vmem", pallas_vmem), ("pallas_take", pallas_take)):
     except Exception as e:
         print(f"{name:<14s} UNSUPPORTED: {type(e).__name__}: "
               f"{str(e).splitlines()[0][:120]}")
+
+
+# ---------------------------------------------------------------------------
+# production-shaped variant: the hash-encode gather is 16 levels x (N*8)
+# rows, each level gathering from its OWN table (hashed levels: 2^19 x F).
+# One level's table (4 MB at F=2) fits VMEM: grid (level, chunk) keeps the
+# level table resident while its row chunks stream through.
+# ---------------------------------------------------------------------------
+L = 16
+FL = 2
+RL = R // L          # rows per level (~262k at the encode regime)
+LCHUNK = 1 << 13
+
+tables_l = jax.random.normal(jax.random.PRNGKey(2), (L, S, FL), jnp.float32)
+idx_l0 = jax.random.randint(jax.random.PRNGKey(3), (L, RL), 0, S, jnp.int32)
+
+
+def level_take_kernel(idx_ref, table_ref, out_ref):
+    out_ref[...] = jnp.take(table_ref[0], idx_ref[0], axis=0)[None]
+
+
+def level_loop_kernel(idx_ref, table_ref, out_ref):
+    def body(r, _):
+        out_ref[0, r, :] = table_ref[0, idx_ref[0, r], :]
+        return 0
+
+    jax.lax.fori_loop(0, LCHUNK, body, 0)
+
+
+def pallas_level(kernel):
+    def gather(idx):
+        return pl.pallas_call(
+            kernel,
+            grid=(L, RL // LCHUNK),
+            in_specs=[
+                pl.BlockSpec((1, LCHUNK), lambda l, c: (l, c),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, S, FL), lambda l, c: (l, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, LCHUNK, FL), lambda l, c: (l, c, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((L, RL, FL), jnp.float32),
+            interpret=INTERPRET,
+        )(idx, tables_l)
+    return gather
+
+
+def chain_l(gather):
+    @jax.jit
+    def step(idx):
+        out = gather(idx)
+        bump = (jnp.sum(out[:, :, 0]) * 0).astype(jnp.int32)
+        return (idx + 1 + bump) % S
+
+    return step
+
+
+for name, kern in (("pallas_lvl_take", level_take_kernel),
+                   ("pallas_lvl_loop", level_loop_kernel)):
+    try:
+        timeit(name, chain_l(pallas_level(kern)), idx_l0)
+    except Exception as e:
+        print(f"{name:<14s} UNSUPPORTED: {type(e).__name__}: "
+              f"{str(e).splitlines()[0][:120]}")
+
+# XLA baseline at the same per-level shape (vmapped gather)
+timeit("xla_lvl", chain_l(
+    lambda i: jax.vmap(lambda t, ix: jnp.take(t, ix, axis=0))(tables_l, i)
+), idx_l0)
 print("GATHER BENCH DONE")
