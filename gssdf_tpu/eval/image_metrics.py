@@ -132,10 +132,24 @@ def evaluate_dirs(scene_dir, write_json: bool = True) -> Dict[str, float]:
     }
 
     if write_json:
-        full = {str(scene_dir): summary}
-        with open(scene_dir.parent / "render_eval.json", "w") as f:
+        # The reference evaluates every scene dir in ONE invocation and
+        # accumulates full_dict across them (metrics.py:42-127); we are
+        # called once per split, so merge into any existing json — else
+        # the eval split would overwrite the train split's summary.
+        ev_path = scene_dir.parent / "render_eval.json"
+        try:
+            full = json.loads(ev_path.read_text()) if ev_path.exists() else {}
+        except Exception:
+            full = {}
+        full[str(scene_dir)] = summary
+        with open(ev_path, "w") as f:
             json.dump(full, f, indent=True)
+        # per-view: reference layout at gs_log level (last writer wins,
+        # metrics.py:129-130) plus a per-split copy so both splits keep
+        # their per-view numbers.
         with open(scene_dir.parent / "render_eval_per_view.json", "w") as f:
+            json.dump(per_view, f, indent=True)
+        with open(scene_dir / "render_eval_per_view.json", "w") as f:
             json.dump(per_view, f, indent=True)
         with open(
             scene_dir.parent.parent / "evaluation_results.json", "a"

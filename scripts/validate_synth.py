@@ -285,7 +285,12 @@ preload: 1
 
     metrics = eval_mesh(verts, faces, gt_surface_points())
     ev = json.load(open(Path(cfg.output_path) / "gs_log" / "render_eval.json"))
-    summary = list(ev.values())[0]
+    # keys are the split scene dirs (.../gs_log/train, .../gs_log/eval)
+    by_split = {}
+    for k, v in ev.items():
+        by_split[Path(k).name] = v
+    summary = by_split.get("train", list(ev.values())[0])
+    eval_summary = by_split.get("eval")
 
     lines = [
         f"# {Path(args.out).stem} — reference-budget synthetic-room validation",
@@ -322,7 +327,14 @@ preload: 1
         "|---|---|",
         f"| train PSNR | {summary['PSNR']:.2f} dB |",
         f"| train SSIM | {summary['SSIM']:.4f} |",
-    ] + [
+    ] + (
+        [
+            f"| eval PSNR | {eval_summary['PSNR']:.2f} dB |",
+            f"| eval SSIM | {eval_summary['SSIM']:.4f} |",
+        ]
+        if eval_summary
+        else []
+    ) + [
         f"| {k} | {v:.3f} |" for k, v in metrics.items()
     ] + [
         "",
