@@ -75,6 +75,23 @@ _INTERPRET = False  # set True to run the kernels in interpreter mode (tests)
 # helpers, so the bwd weight replay stays bit-exact either way.
 _V3 = os.environ.get("GSSDF_RASTER_V3", "0") == "1"
 
+# V4 transmittance (GSSDF_RASTER_V4=1): the CUDA reference maintains T by
+# sequential multiply with NO transcendentals (rasterize_to_pixels_2dgs);
+# the log-space matmul form above pays a [P, ch] log1p plus a [P, ch] exp
+# per chunk purely to ride the prefix sum on the MXU. V4 computes the
+# exclusive prefix PRODUCT of (1 - alpha) directly with a 7-step
+# Hillis-Steele lane scan (static concat-shifts + multiplies on the VPU),
+# eliminating BOTH transcendentals — only exp(-0.5 rho) remains. The
+# chunk carry becomes the transmittance T itself (init 1.0, stored in the
+# same carry rows), and the saturation skip test max(T) >= T_EPS is exact
+# with no margin (t_in <= T_carry since every factor <= 1). Orthogonal to
+# V3's plane-side MXU change; forward and backward share _transmit, so the
+# bwd weight replay stays bit-exact. Numerics: a 128-factor f32 product
+# carries <= 128 ulp relative error (~1.5e-5), comparable to the split-
+# bf16 _tri_dot it replaces; T underflow to 0 only happens far below the
+# T_EPS keep gate, where w is already exactly 0.
+_V4 = os.environ.get("GSSDF_RASTER_V4", "0") == "1"
+
 F_ROWS = 24          # padded feature rows in the entry table
 CHUNK = 128          # entry-list chunk width (lane dimension)
 _LOG_TEPS = float(np.log(T_EPS))
@@ -202,7 +219,7 @@ def _chunk_planes(ent, pxc, pyc):
     a1 = jnp.minimum(a_raw, MAX_ALPHA)
     gate = (a1 >= ALPHA_MIN) & (depth > 1e-6)
     alpha = jnp.where(gate, a1, 0.0)
-    log1m = jnp.log1p(-alpha)
+    log1m = None if _V4 else jnp.log1p(-alpha)
 
     return dict(
         sx=sx, sy=sy, sz=sz, sz_ok=sz_ok, inv=inv, s2=s2,
@@ -212,10 +229,39 @@ def _chunk_planes(ent, pxc, pyc):
     )
 
 
+def _shift_fill1(x, j: int):
+    """Lane-axis shift right by static ``j``, filling with the product
+    identity (static slices + concat — Mosaic-friendly, no roll)."""
+    return jnp.concatenate([jnp.ones_like(x[:, :j]), x[:, :-j]], axis=-1)
+
+
+def carry_init(shape) -> jnp.ndarray:
+    """Initial per-pixel transmittance carry: log-space 0 (V1/V3) or the
+    multiplicative identity 1 (V4)."""
+    return (
+        jnp.ones(shape, jnp.float32) if _V4 else jnp.zeros(shape, jnp.float32)
+    )
+
+
 def _transmit(log1m, alpha, cl0, u_incl):
-    """Weights from the log-transmittance chain, shared verbatim by the
-    forward and the backward replay: (w, t_ex, keep, cl_last[P, 1])."""
-    if _V3:
+    """Weights from the transmittance chain, shared verbatim by the
+    forward and the backward replay: (w, t_ex, keep, cl_last[P, 1]).
+
+    The carry ``cl0``/``cl_last`` is log-transmittance for V1/V3 and the
+    transmittance itself for V4 (see carry_init)."""
+    if _V4:
+        # exclusive prefix product of (1 - alpha) via Hillis-Steele on the
+        # 128-lane axis: 8 static shifts + multiplies, zero transcendentals
+        one_m = 1.0 - alpha
+        ex = _shift_fill1(one_m, 1)
+        j = 1
+        while j < alpha.shape[-1]:
+            ex = ex * _shift_fill1(ex, j)
+            j *= 2
+        t_ex = cl0 * ex                    # cl0 IS the transmittance here
+        t_in = t_ex * one_m
+        cl_last = t_in[:, -1:]
+    elif _V3:
         # strict-prefix matmul gives the EXCLUSIVE log-T directly: one exp
         # yields t_ex with no [P, ch] division; t_in (keep gate only) is a
         # multiply. cl carry stays the inclusive value.
@@ -400,10 +446,15 @@ def _chunk_bwd(ent, pxc, pyc, cl0, cw0, tot_w, tot_wd, sfx_wd, sfx_wg,
 
 def _chunk_active(ent, cl_carry):
     """EXACT chunk-skip test: all-sentinel (max opa == 0) or saturated
-    (max log-T at chunk start below log(T_EPS) by a safety margin) chunks
-    contribute exactly zero weight everywhere."""
+    chunks contribute exactly zero weight everywhere. V1/V3 carry is
+    log-T (margin guards exp rounding); V4 carry is T itself, where
+    t_in <= T_carry holds exactly (every (1-alpha) factor <= 1) so the
+    T_EPS compare needs no margin."""
     opa_max = jnp.max(ent[14])
-    unsat = jnp.max(cl_carry) >= _LOG_TEPS - _SKIP_MARGIN
+    if _V4:
+        unsat = jnp.max(cl_carry) >= T_EPS
+    else:
+        unsat = jnp.max(cl_carry) >= _LOG_TEPS - _SKIP_MARGIN
     return jnp.logical_and(opa_max > 0.0, unsat)
 
 
@@ -426,7 +477,7 @@ def _fwd_kernel(ent_ref, out_ref, wmax_ref, cl_s, cw_s, cwd_s, *,
     @pl.when(j == 0)
     def _init():
         out_ref[...] = jnp.zeros_like(out_ref)
-        cl_s[...] = jnp.zeros_like(cl_s)
+        cl_s[...] = carry_init(cl_s.shape)
         cw_s[...] = jnp.zeros_like(cw_s)
         cwd_s[...] = jnp.zeros_like(cwd_s)
 
@@ -611,7 +662,7 @@ def _fwd_one_tile(t, ent, tiles_x: int, tile_size: int):
     pxc, pyc = _tile_pixels(t, tiles_x, tile_size)
     out = jnp.zeros((orows, p), jnp.float32)
     wm = jnp.zeros((8, c), jnp.float32)
-    cl = jnp.zeros((p, 1), jnp.float32)
+    cl = carry_init((p, 1))
     cw = jnp.zeros((p, 1), jnp.float32)
     cwd = jnp.zeros((p, 1), jnp.float32)
     for j in range(nc):

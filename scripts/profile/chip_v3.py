@@ -1,8 +1,11 @@
-"""Chip validation + timing for the V3 composite chunk math.
+"""Chip validation + timing for the V3/V4 composite chunk-math variants.
 
-Runs at whatever GSSDF_RASTER_V3 says (the flag is read at module import):
+Runs at whatever GSSDF_RASTER_V3 / GSSDF_RASTER_V4 say (the flags are
+read at module import):
   GSSDF_RASTER_V3=0 python -u - < scripts/profile/chip_v3.py   # baseline
-  GSSDF_RASTER_V3=1 python -u - < scripts/profile/chip_v3.py   # candidate
+  GSSDF_RASTER_V3=1 python -u - < scripts/profile/chip_v3.py   # V3
+  GSSDF_RASTER_V4=1 python -u - < scripts/profile/chip_v3.py   # V4
+  GSSDF_RASTER_V3=1 GSSDF_RASTER_V4=1 ... < chip_v3.py         # V3+V4
 
 Each invocation reports (a) fwd parity of the Pallas path vs the XLA scan
 path ON REAL MOSAIC (the raster_v2 lesson: interpret mode cannot see
@@ -32,7 +35,7 @@ from gssdf_tpu.gs.render import RenderSettings, render_splats  # noqa: E402
 from gssdf_tpu.ops.pallas import raster  # noqa: E402
 from gssdf_tpu.utils.math import logit  # noqa: E402
 
-print(f"V3 = {raster._V3}", flush=True)
+print(f"V3 = {raster._V3}  V4 = {raster._V4}", flush=True)
 
 W, H, N = 1200, 680, 131072
 key = jax.random.PRNGKey(0)

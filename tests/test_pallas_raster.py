@@ -15,26 +15,32 @@ K = jnp.array([[80.0, 0, W / 2], [0, 80.0, H / 2], [0, 0, 1]], jnp.float32)
 EYE4 = jnp.eye(4, dtype=jnp.float32)
 
 
-@pytest.fixture(autouse=True, params=["v1", "v1_v3", "v2"])
+@pytest.fixture(
+    autouse=True, params=["v1", "v1_v3", "v1_v4", "v1_v3v4", "v2"]
+)
 def KMOD(request, monkeypatch):
     """Run the direct kernel tests against BOTH schedulings (raster /
     raster_v2) AND the V3 chunk math (MXU plane construction +
-    strict-prefix t_ex, GSSDF_RASTER_V3). raster_v2 is NOT routed through
-    the production dispatch: it fails forward parity on real Mosaic (chip
-    sweep 2026-08-19, max err 2.84 — interpret mode passes, so these CPU
-    tests can't see the bug) and GSSDF_RASTER_V2=1 now raises in
-    rasterize_tiled."""
+    strict-prefix t_ex, GSSDF_RASTER_V3) AND the V4 multiplicative
+    transmittance scan (GSSDF_RASTER_V4, alone and combined with V3).
+    raster_v2 is NOT routed through the production dispatch: it fails
+    forward parity on real Mosaic (chip sweep 2026-08-19, max err 2.84 —
+    interpret mode passes, so these CPU tests can't see the bug) and
+    GSSDF_RASTER_V2=1 now raises in rasterize_tiled."""
     R._INTERPRET = True
     R2._INTERPRET = True
     monkeypatch.delenv("GSSDF_RASTER_V2", raising=False)
-    if request.param == "v1_v3":
-        monkeypatch.setattr(R, "_V3", True)
-        # _V3 is read at TRACE time: stale executables traced with the
-        # other setting must not be reused across fixture params
+    variants = {"v1_v3": ("_V3",), "v1_v4": ("_V4",),
+                "v1_v3v4": ("_V3", "_V4")}.get(request.param, ())
+    for attr in variants:
+        monkeypatch.setattr(R, attr, True)
+    if variants:
+        # variant flags are read at TRACE time: stale executables traced
+        # with the other setting must not be reused across fixture params
         jax.clear_caches()
     mod = R2 if request.param == "v2" else R
     yield mod
-    if request.param == "v1_v3":
+    if variants:
         jax.clear_caches()
     R._INTERPRET = False
     R2._INTERPRET = False
