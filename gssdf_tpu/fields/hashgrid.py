@@ -17,6 +17,7 @@ Multiresolution Hash Encoding" (arXiv:2201.05989).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Tuple
 
@@ -28,6 +29,13 @@ from ..ops.pallas.segsum import table_gather
 
 # Spatial-hash primes from the InstantNGP paper.
 _PRIMES = (1, 2654435761, 805459861)
+
+# GSSDF_ENCODE_VMEM=1 routes the encode's corner-feature gather through the
+# per-level VMEM-resident Pallas kernel (ops/pallas/lvl_gather.py): each
+# level's slab (<= 4 MB) sits whole in VMEM while its index chunks stream
+# through, replacing the HBM-latency-bound global row gather. OFF by
+# default until chip-validated (scripts/profile/gather_bench.py decides).
+_ENCODE_VMEM = os.environ.get("GSSDF_ENCODE_VMEM", "0") == "1"
 
 
 @dataclass(frozen=True)
@@ -146,13 +154,44 @@ def _corner_idx_weights(x01, spec: HashGridSpec, with_dw: bool):
     return idx, w, dw
 
 
-def _gather_corner_feats(table, idx, spec: HashGridSpec):
-    """One global gather of all (level, corner) rows -> [N, L, 8, F].
+def _level_stack(table, spec: HashGridSpec):
+    """Concatenated table -> padded per-level stack [L, table_size, F].
 
-    table_gather: XLA gather forward; transpose = windowed Pallas segment
-    sum on TPU (every autodiff order — see ops/pallas/segsum.py).
-    """
+    Static slices + pads (differentiable; the transpose is concat-of-
+    slices, cheap XLA). Levels dense enough to use fewer slots are
+    zero-padded — the pad rows are never indexed."""
+    _, slots, _ = spec.level_meta()
+    offsets = np.concatenate([[0], np.cumsum(slots)[:-1]])
+    smax = spec.table_size
+    parts = []
+    for l in range(spec.n_levels):
+        sl = table[int(offsets[l]):int(offsets[l] + slots[l])]
+        if int(slots[l]) < smax:
+            sl = jnp.pad(sl, ((0, smax - int(slots[l])), (0, 0)))
+        parts.append(sl)
+    return jnp.stack(parts)
+
+
+def _gather_corner_feats(table, idx, spec: HashGridSpec):
+    """One fused gather of all (level, corner) rows -> [N, L, 8, F].
+
+    Default: global XLA gather forward; transpose = windowed Pallas
+    segment sum on TPU (every autodiff order — see ops/pallas/segsum.py).
+    GSSDF_ENCODE_VMEM=1: per-level VMEM-resident Pallas gather (same
+    segment-sum transpose, flat (level, slot) keys)."""
     n = idx.shape[0]
+    if _ENCODE_VMEM:
+        from ..ops.pallas.lvl_gather import level_gather
+
+        _, slots, _ = spec.level_meta()
+        offsets = np.concatenate([[0], np.cumsum(slots)[:-1]])
+        local = idx - jnp.asarray(offsets, jnp.int32)[None, :, None]
+        out = level_gather(
+            _level_stack(table, spec),
+            jnp.swapaxes(local, 0, 1).reshape(spec.n_levels, n * 8),
+        )                                   # [L, N*8, F]
+        out = out.reshape(spec.n_levels, n, 8, spec.n_features_per_level)
+        return jnp.swapaxes(out, 0, 1)
     return table_gather(table, idx.reshape(-1)).reshape(
         n, spec.n_levels, 8, spec.n_features_per_level
     )
