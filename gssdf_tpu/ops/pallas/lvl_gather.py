@@ -86,6 +86,62 @@ def _lvl_gather_pallas(stack: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return out[:, :r]
 
 
+def _scatter_kernel(idx_ref, val_ref, out_ref):
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    def body(r, _):
+        i = idx_ref[0, r]
+        out_ref[0, i, :] = out_ref[0, i, :] + val_ref[0, r, :]
+        return 0
+
+    jax.lax.fori_loop(0, idx_ref.shape[-1], body, 0)
+
+
+def level_scatter_add(
+    idx: jnp.ndarray, vals: jnp.ndarray, num_slots: int
+) -> jnp.ndarray:
+    """Sort-FREE per-level scatter-add: [L, R] keys + [L, R, F] rows ->
+    [L, S, F] tables, each level's table VMEM-resident while its rows
+    stream through (sequential in-kernel accumulation, no collisions).
+
+    The sorted-segsum pipeline pays an XLA sort (~6 ms at 4.2M rows) plus
+    ~7.7 ns/row in the windowed kernel; if the chip sustains ~1-2 ns/row
+    of dynamic-index VMEM RMW (gather_bench pallas_lvl_loop answers the
+    same question), this replaces segment_sum in level_gather's transpose.
+    Gated like the gather: not routed anywhere until chip-validated.
+    Rows with idx outside [0, num_slots) are the caller's bug (no
+    sentinel handling — the encode's corner indices are always in range).
+    """
+    l, r = idx.shape
+    f = vals.shape[-1]
+    pad = (-r) % _CHUNK
+    if pad:
+        # pad rows scatter zeros into slot 0 — harmless
+        idx = jnp.concatenate([idx, jnp.zeros((l, pad), idx.dtype)], axis=1)
+        vals = jnp.concatenate(
+            [vals, jnp.zeros((l, pad, f), vals.dtype)], axis=1
+        )
+    rp = r + pad
+    return pl.pallas_call(
+        _scatter_kernel,
+        grid=(l, rp // _CHUNK),
+        in_specs=[
+            pl.BlockSpec((1, _CHUNK), lambda i, c: (i, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _CHUNK, f), lambda i, c: (i, c, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, num_slots, f), lambda i, c: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((l, num_slots, f), jnp.float32),
+        interpret=_INTERPRET,
+    )(idx, vals)
+
+
 _lg_p = jax.extend.core.Primitive("gssdf_level_gather")
 
 

@@ -103,6 +103,19 @@ def test_encode_grad_and_hessian_parity():
     )
 
 
+def test_level_scatter_add_matches_segsum():
+    l, s, f, r = 4, 48, 2, 333
+    idx = jax.random.randint(jax.random.PRNGKey(12), (l, r), 0, s)
+    vals = jax.random.normal(jax.random.PRNGKey(13), (l, r, f))
+    out = LG.level_scatter_add(idx, vals, s)
+    ref = jax.vmap(
+        lambda ix, v: jnp.zeros((s, f)).at[ix].add(v)
+    )(idx, vals)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-6
+    )
+
+
 def test_encode_vmap_parity():
     table = init_hashgrid(jax.random.PRNGKey(10), SPEC)
     xs = jax.random.uniform(jax.random.PRNGKey(11), (3, 33, 3))
