@@ -403,7 +403,21 @@ def refine_splats(
     is_dupli = is_high & is_small
     is_split = is_high & ~is_small
     if scale2d_active:
-        is_split = is_split | (alive & (state.radii > spec.grow_scale2d))
+        # splatfacto-style screen-size split (grow_gs,
+        # neural_gaussian.cpp:705-707): gated DYNAMICALLY on
+        # iter < refine_scale2d_stop_iter like the reference, not merely
+        # on the machinery being enabled. On this renderer the rule also
+        # serves as the window-honesty guard: train-time bbox windows
+        # clamp what the photometric loss can see of a large splat
+        # (clamp_frac telemetry), so splats beyond ~grow_scale2d of the
+        # image never feel their full-footprint error and can degenerate
+        # into needles — splitting them keeps every splat inside the
+        # window budget (see RESULTS_r04 diagnosis).
+        is_split = is_split | (
+            alive
+            & (state.radii > spec.grow_scale2d)
+            & (iter_num < spec.refine_scale2d_stop_iter)
+        )
 
     zero_moment_rows = jnp.zeros((c,), bool)
 

@@ -187,6 +187,13 @@ def main():
                     help="force the CPU backend (smoke runs while the TPU "
                     "tunnel is down; env JAX_PLATFORMS is ignored by the "
                     "site config — see CLAUDE.md)")
+    ap.add_argument("--fix-window", action="store_true",
+                    help="window-honesty variant (RESULTS_r04 diagnosis): "
+                    "refine_scale2d_stop_iter = gs_iters/2 splits splats "
+                    "whose screen radius outgrows the train bbox window "
+                    "(needle/floater pathology at reference density), and "
+                    "tile_expand_small 16 so the small-bucket window covers "
+                    "the split survivors' true bboxes")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -225,6 +232,11 @@ tile_cap: 512
 gs_sdf_budget: 32768
 export_resolution: 0.02
 resume_interval: 1000
+"""
+    if args.fix_window:
+        scale += f"""
+refine_scale2d_stop_iter: {args.gs_iters // 2}
+tile_expand_small: 16
 """
     (cfg_dir / "run.yaml").write_text(f"""
 dataset_type: 0

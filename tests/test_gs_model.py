@@ -131,6 +131,29 @@ def test_refine_splits_large_high_grad():
     assert float(jnp.sum(jnp.abs(mu2.scaling[0]))) > 0.0
 
 
+def test_refine_scale2d_splits_big_screen_radius():
+    """splatfacto screen-size split (neural_gaussian.cpp:705-707): a splat
+    whose tracked max screen radius exceeds grow_scale2d is split while
+    iter < refine_scale2d_stop_iter, and NOT after (dynamic gate)."""
+    c = 12
+    spec = RefineSpec(
+        grow_grad2d=1e9, grow_scale3d=0.05, spatial_scale=1.0,
+        prune_scale3d=100.0, refine_scale2d_stop_iter=1000,
+    )
+    for it, want_split in ((jnp.int32(100), 1), (jnp.int32(2000), 0)):
+        m = _toy_model(n=4, capacity=c)
+        state = densify_state_init(c)._replace(
+            radii=jnp.zeros(c).at[2].set(0.3), count=jnp.ones(c)
+        )
+        mu = _zero_moments(m.params)
+        nu = _zero_moments(m.params)
+        m2, s2, *_, info = refine_splats(
+            m, state, mu, nu, jax.random.PRNGKey(2), spec,
+            it, 3000, True,
+        )
+        assert int(info["n_split"]) == want_split, int(it)
+
+
 def test_refine_prunes_low_opacity():
     m = _toy_model(n=4, capacity=8)
     opa = m.params.opacity.at[3].set(logit(0.01))
