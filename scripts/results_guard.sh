@@ -8,7 +8,7 @@ cd /root/repo
 last=""
 while true; do
   sleep 120
-  for f in RESULTS_r04.md RESULTS_OUTDOOR_r04.md; do
+  for f in RESULTS_r04.md RESULTS_OUTDOOR_r04.md RESULTS_r04_FIXED.md; do
     [ -f "$f" ] || continue
     h=$(md5sum "$f" | cut -d' ' -f1)
     case "$last" in *"$h"*) continue ;; esac
