@@ -92,6 +92,32 @@ def render(s_kw, pose):
             float(out["clamp_frac"]))
 
 
+# window-honesty stats on the final model (DIAGNOSIS_r04): how much of
+# the model exceeds what the train windows can render?
+try:
+    import numpy as _np
+
+    from gssdf_tpu.gs.model import generate_gaussian
+    from gssdf_tpu.gs.projection import project_2dgs
+
+    _xyz, _q, _sc, _opa, _ = generate_gaussian(model, training=False)
+    _p = project_2dgs(
+        _xyz, _q, _sc, jnp.asarray(pipe.loader.parser.color_poses[0]),
+        K, cam.width, cam.height, cfg.near, cfg.far,
+    )
+    _r = _np.asarray(_p.radii)[_np.asarray(_p.valid)]
+    _s2 = _np.exp(_np.asarray(model.params.scaling)[
+        _np.asarray(pipe.gs_state.alive)][:, :2]).max(1)
+    print("world max-scale pct[50,90,99,99.9]:",
+          _np.percentile(_s2, [50, 90, 99, 99.9]).round(4),
+          "max", round(float(_s2.max()), 2), flush=True)
+    print("screen radius px pct[50,90,99]:",
+          _np.percentile(_r, [50, 90, 99]).round(1),
+          f"| >60px: {100 * (_r > 0.05 * max(cam.width, cam.height)).mean():.2f}%",
+          flush=True)
+except Exception as e:  # stats are best-effort
+    print(f"radius stats failed: {e}", flush=True)
+
 ids = pipe.loader.parser.train_ids
 frames = [ids[i] for i in np.linspace(0, len(ids) - 1, 5).astype(int)]
 rows = {k: [] for k in SETTINGS}
