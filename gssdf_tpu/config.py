@@ -174,6 +174,10 @@ class Config:
     prune_scale3d: float = 0.1
     prune_scale2d: float = 0.02
     refine_scale2d_stop_iter: int = 0
+    # phase-2 window-honesty guard: keep a SPLIT-ONLY refine running
+    # after refine_stop so splat screen size stays inside the train bbox
+    # window budget (DIAGNOSIS_r04; documented divergence, default off)
+    refine_scale2d_phase2: bool = False
     refine_start_iter: int = 500
     refine_every: int = 100
     reset_alpha_every: int = 30

@@ -85,6 +85,15 @@ class GSTrainSpec:
     refine_every: int = 100
     reset_every: int = 3000
     refine_scale2d_stop_iter: int = 0
+    # Phase-2 window-honesty guard (DIAGNOSIS_r04 residual risk): after
+    # refine_stop the reference schedule stops ALL structural ops, which
+    # is safe when the training render is exact but leaves splat size
+    # unbounded under clamped windows (the damaged run grew 11.5 m
+    # monsters there). When set, a SPLIT-ONLY refine (screen-size split
+    # + the protective too-big/too-small/nan prunes; no grad-driven
+    # grow, no opacity prune) keeps running every refine_every through
+    # phase 2. Documented divergence; off by default.
+    refine_scale2d_phase2: bool = False
     pause_refine_after_reset: int = 0
     num_train_data: int = 1
     gs_iter_step: int = 30000
@@ -595,6 +604,49 @@ def make_refine_fns(spec: GSTrainSpec):
             info,
         )
 
+    # phase-2 split-only variant (refine_scale2d_phase2): no grad-driven
+    # grow (grow_grad2d = inf), no opacity prune, screen-size split never
+    # age-gated; the protective prunes (too-big 3D, degenerate-small,
+    # nan) stay. Lazily compiled — costs nothing unless dispatched.
+    import dataclasses as _dc
+
+    p2_refine = _dc.replace(
+        spec.refine,
+        grow_grad2d=float("inf"),
+        prune_opa=0.0,
+        refine_scale2d_stop_iter=(1 << 31) - 1,
+    )
+
+    @jax.jit
+    def do_refine_p2(state: GSState, key, iter_num):
+        model = splat_model(state)
+        model2, dstate2, mu2, nu2, info = refine_splats(
+            model,
+            state.dstate,
+            state.opt.mu["gs"],
+            state.opt.nu["gs"],
+            key,
+            p2_refine,
+            iter_num,
+            spec.reset_every,
+            scale2d_active=True,
+        )
+        opt2 = AdamState(
+            step=state.opt.step,
+            mu={"sdf": state.opt.mu["sdf"], "gs": mu2},
+            nu={"sdf": state.opt.nu["sdf"], "gs": nu2},
+        )
+        return (
+            GSState(
+                params={"sdf": state.params["sdf"], "gs": model2.params},
+                anchors=model2.anchors,
+                alive=model2.alive,
+                opt=opt2,
+                dstate=dstate2,
+            ),
+            info,
+        )
+
     @jax.jit
     def do_prune_invisible(state: GSState):
         model = splat_model(state)
@@ -636,7 +688,7 @@ def make_refine_fns(spec: GSTrainSpec):
             dstate=state.dstate,
         )
 
-    return do_refine, do_prune_invisible, do_reset_opacity
+    return do_refine, do_prune_invisible, do_reset_opacity, do_refine_p2
 
 
 def xyz_lr_at(spec: GSTrainSpec, iter_num: int) -> float:
@@ -695,11 +747,13 @@ class GSTrainer:
             )
         else:
             self.step_fn = make_gs_train_step(spec, geom, grid, cam)
-        self.refine_fn, self.prune_inv_fn, self.reset_fn = make_refine_fns(spec)
+        (self.refine_fn, self.prune_inv_fn, self.reset_fn,
+         self.refine_p2_fn) = make_refine_fns(spec)
         # every jitted fn traced at splat-store capacity; extended by the
         # Pipeline (eval render). Cleared per-function on rebucket/shrink.
         self.capacity_jits = [
-            self.step_fn, self.refine_fn, self.prune_inv_fn, self.reset_fn
+            self.step_fn, self.refine_fn, self.prune_inv_fn, self.reset_fn,
+            self.refine_p2_fn,
         ]
 
     def sh_active(self, iter_num: int) -> int:
@@ -713,6 +767,18 @@ class GSTrainer:
         info: Dict[str, Any] = {}
         refine_stop = spec.gs_iter_step // 2
         if iter_num >= refine_stop or iter_num <= 0:
+            # phase-2 window-honesty guard: split-only refine keeps every
+            # splat inside the train-window budget after the reference
+            # schedule stops structural ops (see GSTrainSpec field doc)
+            if (
+                spec.refine_scale2d_phase2
+                and iter_num > 0
+                and _crossed(iter_num, stride, spec.refine_every)
+            ):
+                state, rinfo = self.refine_p2_fn(
+                    state, key, jnp.int32(iter_num)
+                )
+                info.update({f"p2_{k}": int(v) for k, v in rinfo.items()})
             return state, info
 
         if _crossed(iter_num, stride, spec.num_train_data):

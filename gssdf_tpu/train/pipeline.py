@@ -440,6 +440,7 @@ class Pipeline:
             refine_every=cfg.refine_every,
             reset_every=cfg.reset_every,
             refine_scale2d_stop_iter=cfg.refine_scale2d_stop_iter,
+            refine_scale2d_phase2=cfg.refine_scale2d_phase2,
             pause_refine_after_reset=(
                 self.loader.num_train if cfg.pause_refine else 0
             ),

@@ -236,6 +236,7 @@ resume_interval: 1000
     if args.fix_window:
         scale += f"""
 refine_scale2d_stop_iter: {args.gs_iters // 2}
+refine_scale2d_phase2: 1
 tile_expand_small: 16
 """
     (cfg_dir / "run.yaml").write_text(f"""

@@ -222,6 +222,45 @@ def test_trainer_callback_refines(scene):
         assert np.isfinite(np.asarray(leaf)).all()
 
 
+def test_phase2_split_only_guard(scene):
+    """refine_scale2d_phase2 (DIAGNOSIS_r04): past refine_stop the normal
+    schedule is silent, but the split-only guard still splits splats whose
+    tracked screen radius exceeds grow_scale2d — and does NOT prune by
+    opacity or grow by gradient."""
+    gt, poses, gts = scene
+    base = dict(
+        gs_sdf_reg=False, refine_start_iter=1, refine_every=2,
+        reset_every=1000, gs_iter_step=40,
+        refine=RefineSpec(grow_grad2d=1e-9, prune_opa=0.5,
+                          prune_scale3d=1e9),
+    )
+    geom = MapGeometry(origin=(0.0, 0.0, 2.0), map_size=4.0)
+    grid = build_occupancy_grid(np.asarray(gt.anchors), geom, 32)
+
+    for phase2, expect_split in ((True, True), (False, False)):
+        spec = _spec(**base, refine_scale2d_phase2=phase2)
+        trainer = GSTrainer(spec, geom, grid, CAM)
+        state = _init_state(scene, spec, capacity=128)
+        n0 = int(jnp.sum(state.alive))
+        # fake densify state: one alive splat with a huge screen radius
+        # and a big gradient (which must NOT trigger phase-2 growth)
+        ds = state.dstate._replace(
+            radii=jnp.zeros_like(state.dstate.radii).at[0].set(0.5),
+            grad2d=jnp.ones_like(state.dstate.grad2d),
+            count=jnp.ones_like(state.dstate.count),
+        )
+        state = state._replace(dstate=ds)
+        it = spec.gs_iter_step // 2 + 2          # past refine_stop
+        state, info = trainer.callback(state, it, jax.random.PRNGKey(0))
+        if expect_split:
+            assert info.get("p2_n_split", 0) == 1, info
+            assert info.get("p2_n_dup", 0) == 0          # no grad grow
+            # prune_opa 0.5 would nuke most of the toy model if active
+            assert int(jnp.sum(state.alive)) >= n0
+        else:
+            assert not any(k.startswith("p2_") for k in info), info
+
+
 def test_color_only_step_freezes_structure(scene):
     """color_init pre-pass: structure params frozen, features move
     (gs_train, neural_mapping.cpp:369-387)."""
