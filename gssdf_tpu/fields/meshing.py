@@ -29,6 +29,10 @@ _TRI_CAP = 1 << 16
 _BUCKET_CAP = 1 << 18
 # x-slabs extracted per fused device call (one host round-trip per batch)
 _SLABS_PER_CALL = 8
+# per-call marching cell budget: marching_tets temps pad to ~40 KB/cell on
+# TPU (tiny trailing dims on the (8, 128) tile); module-level so tests can
+# force the y-banded path
+_CELL_BUDGET = 50_000
 
 
 def extract_mesh(
@@ -51,10 +55,58 @@ def extract_mesh(
 
     nx, ny, nz = [max(2, int(np.ceil((hi[i] - lo[i]) / resolution)) + 1)
                   for i in range(3)]
-    # bound per-slab cell count: marching_tets materializes several
-    # [cells, 6, 6, 3] intermediates; 64k cells keeps the jitted slab
-    # under ~1 GB of HLO temps (2^19 OOM'd a 16 GB chip)
-    slab_voxels = int(max(2, min(slab_voxels, 1 + (1 << 16) // (ny * nz))))
+    # Bound per-call CELL count (_CELL_BUDGET). marching_tets materializes
+    # [cells, 6, 2, 3, 3]-shaped temps whose tiny trailing dims pad to the
+    # (8, 128) TPU tile — ~40 KB per cell of padded HLO temps (a
+    # 409,600-cell slab compiled to a 16.94 GB program and OOM'd the final
+    # reference-res export; the r04 run log has the buffer dump). ~50k
+    # cells keeps the marching temps around 2 GB.
+    # When ONE x-layer already exceeds the budget (reference-resolution
+    # exports: 641x641 layers), band the Y axis and recurse per band with
+    # a one-voxel overlap — same per-band grid coordinates up to f64
+    # rounding of the band origin; bands concatenate like x-slabs do
+    # (vertex weld is per-slab already, so no cross-band weld regression).
+    if (ny - 1) * (nz - 1) > _CELL_BUDGET:
+        band = max(2, _CELL_BUDGET // max(nz - 1, 1))     # y voxels/band
+        parts: list = []
+        y0 = 0
+        while y0 < ny - 1:
+            yn = min(band, ny - 1 - y0) + 1
+            b_lo = lo.copy()
+            b_lo[1] = lo[1] + y0 * resolution
+            b_hi = hi.copy()
+            b_hi[1] = lo[1] + (y0 + yn - 1) * resolution
+            v, f, c = extract_mesh(
+                sdf_params, geom, spec, grid, resolution,
+                bounds_lo=b_lo, bounds_hi=b_hi,
+                slab_voxels=slab_voxels, with_colors=False,
+            )
+            if len(v):
+                parts.append((v, f))
+            y0 += yn - 1                                   # 1-voxel overlap
+        if not parts:
+            return (
+                np.zeros((0, 3), np.float32),
+                np.zeros((0, 3), np.int32),
+                np.zeros((0, 3), np.float32),
+            )
+        nv = 0
+        vs, fs = [], []
+        for v, f in parts:
+            vs.append(v)
+            fs.append(f + nv)
+            nv += len(v)
+        verts = np.concatenate(vs)
+        faces = np.concatenate(fs)
+        if with_colors:
+            colors = _normal_colors(sdf_params, geom, spec, verts, resolution)
+        else:
+            colors = np.full((len(verts), 3), 0.7, np.float32)
+        return verts, faces, colors
+
+    slab_voxels = int(
+        max(2, min(slab_voxels, 1 + _CELL_BUDGET // ((ny - 1) * (nz - 1))))
+    )
 
     ys = lo[1] + np.arange(ny) * resolution
     zs = lo[2] + np.arange(nz) * resolution

@@ -75,6 +75,34 @@ def test_overflow_fallback_matches_compact(sphere_env, monkeypatch):
     )
 
 
+def test_y_banded_matches_unbanded(sphere_env, monkeypatch):
+    """Reference-resolution exports exceed the per-call marching cell
+    budget in a single x-layer and take the y-banded recursion
+    (DIAGNOSIS: a 409,600-cell slab compiled to a 16.94 GB program). The
+    banded mesh must cover the same surface: identical triangle count up
+    to the band-seam duplicates, same sphere fit."""
+    geom, grid = sphere_env
+    kwargs = dict(resolution=0.05, slab_voxels=8, with_colors=False)
+    v1, f1, _ = extract_mesh(None, geom, SDFFieldSpec(), grid, **kwargs)
+    assert len(v1) > 0
+
+    # force banding: one x-layer at res 0.05 has 40*40=1600 cells
+    monkeypatch.setattr(meshing, "_CELL_BUDGET", 400)
+    v2, f2, _ = extract_mesh(None, geom, SDFFieldSpec(), grid, **kwargs)
+    assert len(f2) == len(f1)          # same triangles, re-welded per band
+    r = np.linalg.norm(v2, axis=-1)
+    assert r.min() > RADIUS - 0.05 and r.max() < RADIUS + 0.05
+    # triangle-soup equality up to graze-point weld sensitivity: band
+    # origins differ from the global grid by ~1 f64 ulp, which can flip
+    # compact_mesh's quantized weld keys where the surface grazes a voxel
+    # face (see the xs_all comment in extract_mesh) — a handful of
+    # degenerate-boundary triangles may differ, never more
+    def soup(v, f):
+        return set(map(tuple, np.round(v[f].mean(1), 4)))
+    s1, s2 = soup(v1, f1), soup(v2, f2)
+    assert len(s1 ^ s2) <= max(4, len(f1) // 500), len(s1 ^ s2)
+
+
 @pytest.fixture()
 def shell_env(monkeypatch):
     """Occupancy observed only in a thin shell around the sphere surface, so
