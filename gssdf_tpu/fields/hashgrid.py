@@ -31,10 +31,11 @@ from ..ops.pallas.segsum import table_gather
 _PRIMES = (1, 2654435761, 805459861)
 
 # GSSDF_ENCODE_VMEM=1 routes the encode's corner-feature gather through the
-# per-level VMEM-resident Pallas kernel (ops/pallas/lvl_gather.py): each
-# level's slab (<= 4 MB) sits whole in VMEM while its index chunks stream
-# through, replacing the HBM-latency-bound global row gather. OFF by
-# default until chip-validated (scripts/profile/gather_bench.py decides).
+# per-level VMEM-resident Pallas kernel (ops/pallas/lvl_gather.py).
+# CHIP VERDICT 2026-08-20: Mosaic-REJECTED (block-shape rules — see
+# lvl_gather docstring + PERF_r04 §5); the default XLA gather at
+# 5.62 ns/row is the measured floor. The flag stays for interpret-mode
+# tests of the quarantined kernel; enabling it on a real TPU raises.
 _ENCODE_VMEM = os.environ.get("GSSDF_ENCODE_VMEM", "0") == "1"
 
 

@@ -14,10 +14,17 @@ Two in-kernel addressing variants (GSSDF_LVL_GATHER=take|loop):
   take — jnp.take on the resident slab (tests whether Mosaic has a
          vectorized VMEM gather lowering at all)
   loop — fori_loop of per-row dynamic slices (scalar issue rate)
-Chip microbench: scripts/profile/gather_bench.py (pallas_lvl_*). The
-production flag GSSDF_ENCODE_VMEM=1 routes hashgrid encode through this
-path (fields/hashgrid.py::_gather_corner_feats); it stays OFF until the
-chip numbers beat the XLA baseline — the raster_v2 rule.
+
+CHIP VERDICT (2026-08-20, scripts/profile/gather_bench.py +
+PERF_r04.md section 5): REJECTED by Mosaic lowering rules, not by
+performance — an [S, 2] feature table has no (8, 128)-divisible block,
+repacking feature pairs into lanes needs dynamic LANE indexing
+(unsupported), and jnp.take has no vectorized in-kernel gather
+lowering. XLA's row gather (5.62 ns/row) is the hash-encode floor on
+this TPU generation. This module stays as interpret-tested quarantined
+code (the raster_v2 rule) in case a future Mosaic adds dynamic sublane
+gathers; on a real TPU backend level_gather raises with this
+explanation instead of failing deep inside the compiler.
 
 Autodiff: ``level_gather`` is a first-class linear primitive like
 segsum.table_gather — jvp gathers the tangent, transpose flattens the
@@ -155,8 +162,18 @@ def level_gather(stack: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
 
 def _lg_impl(stack, idx):
-    if jax.default_backend() == "tpu" or _INTERPRET:
+    if _INTERPRET:
         return _lvl_gather_pallas(stack, idx)
+    if jax.default_backend() == "tpu":
+        # chip-measured 2026-08-20: the kernel cannot lower on real
+        # Mosaic (block-shape rules; see module docstring + PERF_r04 §5)
+        raise RuntimeError(
+            "level_gather is Mosaic-rejected on real TPU (no legal "
+            "(8,128) block for an [S, F<128] table; dynamic lane "
+            "indexing unsupported). Use the default XLA table_gather "
+            "path (GSSDF_ENCODE_VMEM unset); interpret mode remains "
+            "available for tests."
+        )
     return jax.vmap(lambda t, ix: t[ix])(stack, idx)
 
 
