@@ -45,6 +45,7 @@ def extract_mesh(
     bounds_hi: Optional[np.ndarray] = None,
     slab_voxels: int = 64,
     with_colors: bool = True,
+    _band: bool = True,   # internal: band recursion must not re-band
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Marching over the map cube at ``resolution``; returns
     (verts [V, 3] world, faces [F, 3], colors [V, 3] float 0-1)."""
@@ -66,7 +67,7 @@ def extract_mesh(
     # a one-voxel overlap — same per-band grid coordinates up to f64
     # rounding of the band origin; bands concatenate like x-slabs do
     # (vertex weld is per-slab already, so no cross-band weld regression).
-    if (ny - 1) * (nz - 1) > _CELL_BUDGET:
+    if _band and (ny - 1) * (nz - 1) > _CELL_BUDGET:
         band = max(2, _CELL_BUDGET // max(nz - 1, 1))     # y voxels/band
         parts: list = []
         y0 = 0
@@ -76,10 +77,16 @@ def extract_mesh(
             b_lo[1] = lo[1] + y0 * resolution
             b_hi = hi.copy()
             b_hi[1] = lo[1] + (y0 + yn - 1) * resolution
+            # _band=False: fp rounding of band bounds can recompute ny one
+            # voxel larger inside the recursion and re-trigger banding
+            # forever (hit on the first chip run of this path); a band is
+            # within ~1 layer of the budget by construction, so extract it
+            # directly
             v, f, c = extract_mesh(
                 sdf_params, geom, spec, grid, resolution,
                 bounds_lo=b_lo, bounds_hi=b_hi,
                 slab_voxels=slab_voxels, with_colors=False,
+                _band=False,
             )
             if len(v):
                 parts.append((v, f))
