@@ -292,10 +292,23 @@ preload: 1
         pipe.end()
         t_end = time.time()
 
-    # chamfer vs analytic GT
-    verts, faces, _ = pipe.save_mesh(cfg.export_resolution, save=False)
+    # chamfer vs analytic GT — reuse end()'s exported mesh when present
+    # (a reference-resolution extraction costs ~1 h of chip; re-extracting
+    # it for the metrics doubled the export phase)
     from gssdf_tpu.eval.mesh_metrics import eval_mesh
 
+    mesh_dir = Path(cfg.output_path) / "mesh"
+    plys = sorted(mesh_dir.glob("*.ply")) if mesh_dir.exists() else []
+    if plys:
+        from gssdf_tpu.utils.ply import read_ply
+
+        d = read_ply(plys[-1])
+        verts = np.stack(
+            [d["vertex.x"], d["vertex.y"], d["vertex.z"]], 1
+        ).astype(np.float32)
+        faces = d["face"]
+    else:
+        verts, faces, _ = pipe.save_mesh(cfg.export_resolution, save=False)
     metrics = eval_mesh(verts, faces, gt_surface_points())
     ev = json.load(open(Path(cfg.output_path) / "gs_log" / "render_eval.json"))
     # keys are the split scene dirs (.../gs_log/train, .../gs_log/eval)
