@@ -187,6 +187,12 @@ def main():
                     help="force the CPU backend (smoke runs while the TPU "
                     "tunnel is down; env JAX_PLATFORMS is ignored by the "
                     "site config — see CLAUDE.md)")
+    ap.add_argument("--no-reset", action="store_true",
+                    help="DIAGNOSTIC: disable periodic opacity resets "
+                    "(reset_alpha_every huge). Controlled comparison vs "
+                    "--fix-window alone isolates whether reset recovery "
+                    "under cap truncation drives the collapse "
+                    "(DIAGNOSIS_r04 addendum)")
     ap.add_argument("--fix-window", action="store_true",
                     help="window-honesty variant (RESULTS_r04 diagnosis): "
                     "refine_scale2d_stop_iter = gs_iters/2 splits splats "
@@ -238,6 +244,10 @@ resume_interval: 1000
 refine_scale2d_stop_iter: {args.gs_iters // 2}
 refine_scale2d_phase2: 1
 tile_expand_small: 16
+"""
+    if args.no_reset:
+        scale += """
+reset_alpha_every: 1000000
 """
     (cfg_dir / "run.yaml").write_text(f"""
 dataset_type: 0
