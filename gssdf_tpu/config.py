@@ -178,6 +178,11 @@ class Config:
     # after refine_stop so splat screen size stays inside the train bbox
     # window budget (DIAGNOSIS_r04; documented divergence, default off)
     refine_scale2d_phase2: bool = False
+    # renderer-aware densify gate: suppress grad-driven grow while the
+    # train render's drop_frac exceeds this (0 = off; DIAGNOSIS_r04
+    # addendum 2 — densification outgrowing the tile-cap budget is the
+    # measured primary collapse mechanism at reference density)
+    grow_drop_frac_max: float = 0.0
     refine_start_iter: int = 500
     refine_every: int = 100
     reset_alpha_every: int = 30

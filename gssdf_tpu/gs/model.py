@@ -371,6 +371,15 @@ class RefineSpec:
     refine_scale2d_stop_iter: int = 0
     spatial_scale: float = 1.0
     original_spatial_scale: float = 1.0
+    # Renderer-aware densification gate (DIAGNOSIS_r04 addendum 2): when
+    # > 0, grad-driven grow (duplicate + split) is suppressed while the
+    # last train render's drop_frac exceeds this — the no-reset
+    # experiment showed the collapse tracks densification outgrowing the
+    # fixed tile-cap budget (280k -> 586k alive drove drop_frac 0.25 ->
+    # 0.74 and PSNR 19 -> 15). The reference's budget is unbounded so
+    # its gate is trivially always open; prunes and the scale2d
+    # window-honesty split stay active either way.
+    grow_drop_frac_max: float = 0.0
 
 
 def refine_splats(
@@ -383,6 +392,7 @@ def refine_splats(
     iter_num: jnp.ndarray,
     reset_every: int,
     scale2d_active: bool,
+    grow_ok=True,   # dynamic bool: False suppresses grad-driven grow
 ):
     """grow (duplicate + split) then prune, as masked scatters
     (grow_gs/split/duplicate/prune_gs, neural_gaussian.cpp:690-916).
@@ -397,7 +407,7 @@ def refine_splats(
     c = alive.shape[0]
 
     grads = state.grad2d / jnp.clip(state.count, 1.0)
-    is_high = (grads > spec.grow_grad2d) & alive
+    is_high = (grads > spec.grow_grad2d) & alive & grow_ok
     scale2 = jnp.exp(p.scaling[:, :2])
     is_small = jnp.max(scale2, -1) <= spec.grow_scale3d * spec.spatial_scale
     is_dupli = is_high & is_small

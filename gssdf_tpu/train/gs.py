@@ -573,7 +573,7 @@ def make_gs_train_step(
 
 def make_refine_fns(spec: GSTrainSpec):
     @jax.jit
-    def do_refine(state: GSState, key, iter_num):
+    def do_refine(state: GSState, key, iter_num, grow_ok=True):
         model = splat_model(state)
         mu_gs = state.opt.mu["gs"]
         nu_gs = state.opt.nu["gs"]
@@ -587,6 +587,7 @@ def make_refine_fns(spec: GSTrainSpec):
             iter_num,
             spec.reset_every,
             scale2d_active=spec.refine_scale2d_stop_iter > 0,
+            grow_ok=grow_ok,
         )
         opt2 = AdamState(
             step=state.opt.step,
@@ -760,9 +761,15 @@ class GSTrainer:
         return min(self.spec.sh_degree, iter_num // self.spec.sh_degree_interval)
 
     def callback(
-        self, state: GSState, iter_num: int, key, stride: int = 1
+        self, state: GSState, iter_num: int, key, stride: int = 1,
+        drop_frac_fn=None,
     ) -> Tuple[GSState, Dict]:
-        """Post-step refine schedule. Returns possibly-updated state."""
+        """Post-step refine schedule. Returns possibly-updated state.
+
+        ``drop_frac_fn``: lazy () -> float of the last train render's
+        drop_frac; only called when a refine fires AND the renderer-aware
+        grow gate is enabled (RefineSpec.grow_drop_frac_max > 0), so the
+        host never syncs on it otherwise."""
         spec = self.spec
         info: Dict[str, Any] = {}
         refine_stop = spec.gs_iter_step // 2
@@ -790,7 +797,15 @@ class GSTrainer:
             and _crossed(iter_num, stride, spec.refine_every)
             and (iter_num % spec.reset_every) >= spec.pause_refine_after_reset
         ):
-            state, rinfo = self.refine_fn(state, key, jnp.int32(iter_num))
+            grow_ok = True
+            thr = spec.refine.grow_drop_frac_max
+            if thr > 0 and drop_frac_fn is not None:
+                grow_ok = float(drop_frac_fn()) <= thr
+                if not grow_ok:
+                    info["grow_gated"] = 1
+            state, rinfo = self.refine_fn(
+                state, key, jnp.int32(iter_num), jnp.bool_(grow_ok)
+            )
             info.update({k: int(v) for k, v in rinfo.items()})
             if spec.rebucket_sat > 0:
                 n_alive = int(jnp.sum(state.alive))

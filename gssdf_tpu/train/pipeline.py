@@ -421,6 +421,7 @@ class Pipeline:
                 refine_scale2d_stop_iter=cfg.refine_scale2d_stop_iter,
                 spatial_scale=self.spatial_scale,
                 original_spatial_scale=0.5 * cfg.inner_map_size,
+                grow_drop_frac_max=cfg.grow_drop_frac_max,
             ),
             rgb_weight=cfg.rgb_weight,
             dssim_weight=cfg.dssim_weight,
@@ -559,7 +560,11 @@ class Pipeline:
             # keep the standalone sdf params view in sync
             self.sdf_params = self.gs_state.params["sdf"]
             self.gs_state, rinfo = trainer.callback(
-                self.gs_state, i, self._next_key(), stride=b
+                self.gs_state, i, self._next_key(), stride=b,
+                drop_frac_fn=(
+                    (lambda a=aux: float(a["drop_frac"]))
+                    if "drop_frac" in aux else None
+                ),
             )
             t_iter.toc_sum()
 

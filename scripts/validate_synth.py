@@ -244,6 +244,7 @@ resume_interval: 1000
 refine_scale2d_stop_iter: {args.gs_iters // 2}
 refine_scale2d_phase2: 1
 tile_expand_small: 16
+grow_drop_frac_max: 0.3
 """
     if args.no_reset:
         scale += """

@@ -154,6 +154,37 @@ def test_refine_scale2d_splits_big_screen_radius():
         assert int(info["n_split"]) == want_split, int(it)
 
 
+def test_refine_grow_gate_suppresses_grad_growth():
+    """Renderer-aware densify gate (DIAGNOSIS_r04 addendum 2):
+    grow_ok=False kills grad-driven duplicate/split but leaves the
+    scale2d window-honesty split and the prunes active."""
+    c = 12
+    spec = RefineSpec(
+        grow_grad2d=0.1, grow_scale3d=0.05, spatial_scale=1.0,
+        prune_scale3d=100.0, refine_scale2d_stop_iter=1000,
+    )
+    m = _toy_model(n=4, capacity=c)
+    state = densify_state_init(c)._replace(
+        grad2d=jnp.zeros(c).at[1].set(10.0),   # would duplicate splat 1
+        radii=jnp.zeros(c).at[2].set(0.3),     # scale2d-splits splat 2
+        count=jnp.ones(c),
+    )
+    mu = _zero_moments(m.params)
+    nu = _zero_moments(m.params)
+    m2, *_, info = refine_splats(
+        m, state, mu, nu, jax.random.PRNGKey(3), spec,
+        jnp.int32(100), 3000, True, grow_ok=jnp.bool_(False),
+    )
+    assert int(info["n_dup"]) == 0                 # gated
+    assert int(info["n_split"]) == 1               # scale2d split survives
+    # and with the gate open the duplicate happens
+    m3, *_, info3 = refine_splats(
+        m, state, mu, nu, jax.random.PRNGKey(3), spec,
+        jnp.int32(100), 3000, True, grow_ok=jnp.bool_(True),
+    )
+    assert int(info3["n_dup"]) == 1
+
+
 def test_refine_prunes_low_opacity():
     m = _toy_model(n=4, capacity=8)
     opa = m.params.opacity.at[3].set(logit(0.01))
