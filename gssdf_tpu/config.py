@@ -217,6 +217,11 @@ class Config:
     mesh_shape: Optional[dict] = None   # e.g. {"data": 8}
     gs_capacity: int = 0                # 0 = auto bucket
     tile_cap: int = 512                 # max splats composited per tile
+    # tile-cap capacity rung (DIAGNOSIS_r04 repair 2): > tile_cap enables
+    # doubling the per-tile lists (one recompile) when the renderer-aware
+    # grow gate stays closed for escalate_patience consecutive refines
+    tile_cap_max: int = 0
+    escalate_patience: int = 3
     tile_expand: int = 64               # per-splat tile-entry budget (big)
     tile_expand_small: int = 8          # small-bucket budget; 0 disables
     # eval/export renders use EXACT settings (the reference's lists are

@@ -141,6 +141,11 @@ def evaluate_dirs(scene_dir, write_json: bool = True) -> Dict[str, float]:
             full = json.loads(ev_path.read_text()) if ev_path.exists() else {}
         except Exception:
             full = {}
+        # drop stale entries from a prior root/resume location: keys are
+        # absolute split dirs, and consumers bucket by Path(k).name, so a
+        # stale 'train'/'eval' from an older path would shadow this run's
+        parent = str(scene_dir.parent)
+        full = {k: v for k, v in full.items() if str(Path(k).parent) == parent}
         full[str(scene_dir)] = summary
         with open(ev_path, "w") as f:
             json.dump(full, f, indent=True)

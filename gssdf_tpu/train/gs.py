@@ -106,6 +106,21 @@ class GSTrainSpec:
     # absgrad. Reference defaults it off and advises against it for 2DGS
     # (config/base.yaml:74); pair with a higher grow_grad2d (~0.0008).
     use_absgrad: bool = False
+    # Tile-cap capacity rung (DIAGNOSIS_r04 repair item 2): when set
+    # above render.tile_cap, the trainer DOUBLES the per-tile list depth
+    # (one recompile of the train step) after ``escalate_patience``
+    # consecutive refine events whose renderer-aware grow gate stayed
+    # closed — i.e. gating densification alone is not bringing drop_frac
+    # back under grow_drop_frac_max. This approaches the reference's
+    # unbounded depth-sorted per-tile lists
+    # (neural_gaussian.cpp:207-223) budget-elastically: the static cap
+    # stays small while the model is small and steps up (512 -> 1024)
+    # only when the model has genuinely outgrown it. 0 disables.
+    tile_cap_max: int = 0
+    # consecutive gated refines before a rung fires; debounces the
+    # post-opacity-reset drop_frac spike (nothing saturates right after
+    # a reset, so one refine's reading can be transiently pessimistic)
+    escalate_patience: int = 3
 
 
 class GSState(NamedTuple):
@@ -738,16 +753,13 @@ class GSTrainer:
 
     def __init__(self, spec: GSTrainSpec, geom, grid, cam: Camera, mesh=None):
         self.spec = spec
+        self.geom = geom
+        self.grid = grid
+        self.cam = cam
         self.mesh = mesh
         self.batch = int(mesh.devices.size) if mesh is not None else 1
-        if mesh is not None:
-            from ..parallel.train import make_multicam_gs_train_step
-
-            self.step_fn = make_multicam_gs_train_step(
-                spec, geom, grid, cam, mesh
-            )
-        else:
-            self.step_fn = make_gs_train_step(spec, geom, grid, cam)
+        self._gated_streak = 0       # consecutive gated refines (cap rung)
+        self._build_step_fn()
         (self.refine_fn, self.prune_inv_fn, self.reset_fn,
          self.refine_p2_fn) = make_refine_fns(spec)
         # every jitted fn traced at splat-store capacity; extended by the
@@ -756,6 +768,40 @@ class GSTrainer:
             self.step_fn, self.refine_fn, self.prune_inv_fn, self.reset_fn,
             self.refine_p2_fn,
         ]
+
+    def _build_step_fn(self):
+        if self.mesh is not None:
+            from ..parallel.train import make_multicam_gs_train_step
+
+            self.step_fn = make_multicam_gs_train_step(
+                self.spec, self.geom, self.grid, self.cam, self.mesh
+            )
+        else:
+            self.step_fn = make_gs_train_step(
+                self.spec, self.geom, self.grid, self.cam
+            )
+
+    def escalate_tile_cap(self) -> int:
+        """One capacity rung of the per-tile lists (tile_cap x2, bounded
+        by ``spec.tile_cap_max``): rebuilds the train step around the
+        deeper lists and drops the old cap's executables. The rest of the
+        state (splat store, optimizer, densify stats) is shape-unchanged,
+        so this costs exactly one train-step recompile. Budget-elastic
+        analog of the reference's unbounded per-tile compositing
+        (neural_gaussian.cpp:207-223)."""
+        import dataclasses as _dc
+
+        new_cap = min(self.spec.render.tile_cap * 2, self.spec.tile_cap_max)
+        old_step = self.step_fn
+        self.spec = _dc.replace(
+            self.spec,
+            render=self.spec.render._replace(tile_cap=new_cap),
+        )
+        self._build_step_fn()
+        old_step.clear_cache()
+        self.capacity_jits[self.capacity_jits.index(old_step)] = self.step_fn
+        self._gated_streak = 0
+        return new_cap
 
     def sh_active(self, iter_num: int) -> int:
         return min(self.spec.sh_degree, iter_num // self.spec.sh_degree_interval)
@@ -803,6 +849,20 @@ class GSTrainer:
                 grow_ok = float(drop_frac_fn()) <= thr
                 if not grow_ok:
                     info["grow_gated"] = 1
+                    self._gated_streak += 1
+                    # capacity rung: the gate has been closed for
+                    # escalate_patience consecutive refines — the render
+                    # budget, not densification, is the binding
+                    # constraint. Double the tile lists (<= tile_cap_max)
+                    # so the model already grown can train honestly.
+                    if (
+                        spec.tile_cap_max > spec.render.tile_cap
+                        and self._gated_streak >= spec.escalate_patience
+                    ):
+                        info["tile_cap"] = self.escalate_tile_cap()
+                        spec = self.spec
+                else:
+                    self._gated_streak = 0
             state, rinfo = self.refine_fn(
                 state, key, jnp.int32(iter_num), jnp.bool_(grow_ok)
             )

@@ -442,6 +442,8 @@ class Pipeline:
             reset_every=cfg.reset_every,
             refine_scale2d_stop_iter=cfg.refine_scale2d_stop_iter,
             refine_scale2d_phase2=cfg.refine_scale2d_phase2,
+            tile_cap_max=cfg.tile_cap_max,
+            escalate_patience=cfg.escalate_patience,
             pause_refine_after_reset=(
                 self.loader.num_train if cfg.pause_refine else 0
             ),

@@ -193,6 +193,11 @@ def main():
                     "--fix-window alone isolates whether reset recovery "
                     "under cap truncation drives the collapse "
                     "(DIAGNOSIS_r04 addendum)")
+    ap.add_argument("--cap-max", type=int, default=0,
+                    help="enable the tile-cap capacity rung (DIAGNOSIS_r04 "
+                    "repair item 2): tile lists double up to this bound "
+                    "when the renderer-aware grow gate stays closed for "
+                    "escalate_patience consecutive refines (e.g. 1024)")
     ap.add_argument("--fix-window", action="store_true",
                     help="window-honesty variant (RESULTS_r04 diagnosis): "
                     "refine_scale2d_stop_iter = gs_iters/2 splits splats "
@@ -245,6 +250,10 @@ refine_scale2d_stop_iter: {args.gs_iters // 2}
 refine_scale2d_phase2: 1
 tile_expand_small: 16
 grow_drop_frac_max: 0.3
+"""
+    if args.cap_max:
+        scale += f"""
+tile_cap_max: {args.cap_max}
 """
     if args.no_reset:
         scale += """
@@ -309,7 +318,15 @@ preload: 1
     from gssdf_tpu.eval.mesh_metrics import eval_mesh
 
     mesh_dir = Path(cfg.output_path) / "mesh"
-    plys = sorted(mesh_dir.glob("*.ply")) if mesh_dir.exists() else []
+    # match end()'s export-resolution mesh exactly; a lexicographic [-1]
+    # can pick a coarser mid-run keyboard export ('0.1' > '0.02')
+    plys = (
+        sorted(mesh_dir.glob("*.ply"), key=lambda p: p.stat().st_mtime)
+        if mesh_dir.exists() else []
+    )
+    exact = mesh_dir / f"mesh_{cfg.export_resolution}.ply"
+    if exact.exists():
+        plys = [exact]
     if plys:
         from gssdf_tpu.utils.ply import read_ply
 

@@ -593,3 +593,65 @@ def test_trainer_shrinks_after_prune(scene):
     assert 0 < shrunk < 512, shrunk
     assert state.alive.shape[0] == shrunk
     assert np.isfinite(float(aux["loss"]))
+
+
+def test_tile_cap_escalation_rung(scene):
+    """Tile-cap capacity rung (DIAGNOSIS_r04 repair item 2): after
+    escalate_patience CONSECUTIVE gated refines the trainer doubles
+    render.tile_cap (bounded by tile_cap_max), rebuilds the step, and the
+    rebuilt step still trains the same (shape-unchanged) state. A gate
+    that re-opens in between resets the streak."""
+    gt, poses, gts = scene
+    base = dict(
+        gs_sdf_reg=False,
+        refine_start_iter=1,
+        refine_every=2,
+        reset_every=1000,
+        gs_iter_step=100,
+        tile_cap_max=128,
+        escalate_patience=2,
+        refine=RefineSpec(grow_grad2d=1e9, grow_drop_frac_max=0.3),
+    )
+    geom = MapGeometry(origin=(0.0, 0.0, 2.0), map_size=4.0)
+    grid = build_occupancy_grid(np.asarray(gt.anchors), geom, 32)
+
+    # --- streak of gated refines escalates exactly once patience is hit
+    spec = _spec(**base)
+    trainer = GSTrainer(spec, geom, grid, CAM)
+    state = _init_state(scene, spec, capacity=128)
+    overload = lambda: 0.9                        # drop_frac > gate thr
+
+    state, info = trainer.callback(
+        state, 2, jax.random.PRNGKey(0), drop_frac_fn=overload)
+    assert info.get("grow_gated") == 1 and "tile_cap" not in info
+    state, info = trainer.callback(
+        state, 4, jax.random.PRNGKey(1), drop_frac_fn=overload)
+    assert info.get("tile_cap") == 128, info      # rung fired at patience
+    assert trainer.spec.render.tile_cap == 128
+    # bounded by tile_cap_max: further gated refines cannot escalate again
+    state, info = trainer.callback(
+        state, 6, jax.random.PRNGKey(2), drop_frac_fn=overload)
+    assert "tile_cap" not in info and trainer.spec.render.tile_cap == 128
+
+    # the rebuilt (deeper-list) step runs on the unchanged state
+    r = spec.sdf.batch_rays
+    rays = (jnp.zeros((r, 3)),
+            jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (r, 1)),
+            jnp.full((r, 1), 2.0))
+    state, aux = trainer.step_fn(
+        state, gts[0], poses[0], *rays, jax.random.PRNGKey(3),
+        0.05, 0.0, 1.6e-3, 0, False,
+    )
+    assert np.isfinite(float(aux["loss"]))
+
+    # --- an open gate in between resets the streak: no escalation
+    trainer2 = GSTrainer(_spec(**base), geom, grid, CAM)
+    state2 = _init_state(scene, spec, capacity=128)
+    state2, i1 = trainer2.callback(
+        state2, 2, jax.random.PRNGKey(0), drop_frac_fn=overload)
+    state2, i2 = trainer2.callback(
+        state2, 4, jax.random.PRNGKey(1), drop_frac_fn=lambda: 0.0)
+    state2, i3 = trainer2.callback(
+        state2, 6, jax.random.PRNGKey(2), drop_frac_fn=overload)
+    assert "tile_cap" not in i3
+    assert trainer2.spec.render.tile_cap == 64
