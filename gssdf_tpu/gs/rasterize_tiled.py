@@ -26,6 +26,7 @@ differentiable and feed the GS->SDF regularizer.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict, Optional
 
 import jax
@@ -33,6 +34,11 @@ import jax.numpy as jnp
 
 from ..ops.pallas.segsum import segment_max, table_gather
 from .rasterize_jax import composite, pixel_weights_from_coeffs, splat_coeffs
+
+# opt-in: build the [T, cap] tile table with overlapped scalar-prefetch
+# DMAs instead of a vmapped dynamic-slice gather (chip verdict pending;
+# see ops/pallas/table_build.py)
+_TABLE_DMA = os.environ.get("GSSDF_TABLE_DMA", "0") == "1"
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -256,9 +262,20 @@ def tile_encode(
     pay_pad = jnp.concatenate(
         [sorted_pay, jnp.full((tile_cap,), n, jnp.int32)]
     )
-    vals = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(pay_pad, (s,), (tile_cap,))
-    )(starts[:-1])
+    if _TABLE_DMA:
+        # scalar-prefetch DMA rows (ops/pallas/table_build.py): the slice
+        # gather below is dispatch-latency-priced (~1.7 us/slice = 5.4 ms
+        # at the bench regime, PERF_r04 section 4); overlapped DMAs price
+        # it at bandwidth. Opt-in until a chip verdict.
+        from ..ops.pallas.table_build import table_rows_dma
+
+        vals = table_rows_dma(
+            pay_pad, starts[:-1].astype(jnp.int32), tile_cap
+        )
+    else:
+        vals = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(pay_pad, (s,), (tile_cap,))
+        )(starts[:-1])
     tile_lists = jnp.where(in_seg, vals, n)
     raw_counts = starts[1:] - starts[:-1]
     counts = jnp.minimum(raw_counts, tile_cap).astype(jnp.int32)

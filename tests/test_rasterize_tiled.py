@@ -319,3 +319,34 @@ def test_drop_vis_zero_when_saturated_nonzero_when_translucent():
     drop_c = float(res_clear["drop_frac"])
     vis_c = float(res_clear["drop_vis"])
     assert vis_c > 0.8 * drop_c              # translucent drops stay visible
+
+
+def test_table_dma_matches_xla_slices():
+    """ops/pallas/table_build.py (interpret mode): the DMA-row tile table
+    equals the vmapped dynamic-slice build inside a real tile_encode."""
+    import gssdf_tpu.gs.rasterize_tiled as RT
+    import gssdf_tpu.ops.pallas.table_build as tb
+
+    rng = np.random.RandomState(4)
+    n = 500
+    means2d = jnp.asarray(rng.uniform(0, 64, (n, 2)), jnp.float32)
+    radii = jnp.asarray(rng.uniform(1, 12, (n,)), jnp.float32)
+    depths = jnp.asarray(rng.uniform(0.5, 5.0, (n,)), jnp.float32)
+    valid = jnp.asarray(rng.rand(n) > 0.1)
+
+    def encode():
+        return RT.tile_encode(
+            means2d, radii, depths, valid, 64, 48, 16, 32, 16, 0
+        )
+
+    ref = encode()
+    old_flag, old_interp = RT._TABLE_DMA, tb._INTERPRET
+    RT._TABLE_DMA, tb._INTERPRET = True, True
+    tb.table_rows_dma.clear_cache()
+    try:
+        got = encode()
+    finally:
+        RT._TABLE_DMA, tb._INTERPRET = old_flag, old_interp
+        tb.table_rows_dma.clear_cache()
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
