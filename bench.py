@@ -145,6 +145,52 @@ def bench_render_fwd_bwd(point):
     return dt_fb
 
 
+def bench_render_fwd_bwd_batched(point, b=4):
+    """Multi-frame amortization probe (VERDICT r04 item 5): the encode is
+    latency-structured (PERF_r04 §4 — table build + sort dominate, not
+    FLOPs), so rendering B frames per dispatch lets XLA overlap B encodes'
+    latency chains. The reference trains 1 image/iter
+    (neural_mapping.cpp:356-531) but nothing forbids batching frames per
+    step on TPU — this measures the per-chip splats/s headroom it buys."""
+    import jax
+    import jax.numpy as jnp
+
+    from gssdf_tpu.gs.model import SplatModel
+    from gssdf_tpu.gs.render import render_splats
+
+    model, settings, pose, K, target, n = point
+    poses = jnp.stack(
+        [pose.at[0, 3].set(0.02 * i) for i in range(b)]
+    )
+
+    def loss_fn(params):
+        m = SplatModel(params=params, anchors=model.anchors, alive=model.alive)
+
+        def one(p):
+            out = render_splats(m, p, K, settings, training=True)
+            return jnp.mean(jnp.abs(out["color"] - target)) + 0.01 * jnp.mean(
+                out["depth"]
+            )
+
+        return jnp.mean(jax.vmap(one)(poses))
+
+    grad_fn = jax.grad(loss_fn)
+
+    @jax.jit
+    def step(params):
+        g = grad_fn(params)
+        return jax.tree.map(lambda p, gg: p - 1e-12 * gg, params, g)
+
+    dt = _chain_timeit(step, model.params, 20)
+    _emit(f"gs_render_fwd_bwd_batch{b}_ms", dt * 1e3, "ms")
+    _emit(
+        f"gs_render_fwd_bwd_batch{b}_splats_per_s",
+        n * b / dt,
+        "splats/s",
+        n * b / dt / _BASELINE,
+    )
+
+
 def bench_render_fwd(point):
     import jax
     import jax.numpy as jnp
@@ -284,6 +330,10 @@ def main():
 
     sections = []
     sections.append(("render_fwd_bwd", lambda: bench_render_fwd_bwd(point)))
+    sections.append(
+        ("render_fwd_bwd_batched",
+         lambda: bench_render_fwd_bwd_batched(point))
+    )
     sections.append(("render_fwd", lambda: bench_render_fwd(point)))
     sections.append(("sdf", bench_sdf))
     for name, fn in sections:
