@@ -569,6 +569,13 @@ class Pipeline:
                 ),
             )
             t_iter.toc_sum()
+            if rinfo and log_path:
+                # structural events (grow/prune counts, grow_gated,
+                # rebucket/shrink, tile_cap rung) are intermittent — a
+                # dedicated event log, not gs_log columns, so the round-4
+                # style collapse forensics can replay the refine schedule
+                with open(log_path.parent / "refine_log.txt", "a") as f:
+                    f.write(json.dumps({"iter": i, **rinfo}) + "\n")
 
             log_now = _fires(i, b, log_every) or i + b >= iters
             if "isigma_mean" in aux and log_now:

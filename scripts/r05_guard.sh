@@ -11,6 +11,7 @@ commit_snap() {
   RUN=$(grep -m1 '^run dir:' "$LOG" 2>/dev/null | awk '{print $3}')
   [ -n "$RUN" ] && [ -d "$RUN" ] || return 0
   git add -f "$RUN/gs_log.txt" "$RUN/nsdf_log.txt" "$RUN/gs_log/mid" \
+    "$RUN/refine_log.txt" \
     "$RUN/model/gs_resume.npz" "$RUN/model/sdf_checkpoint.npz" \
     "$RUN/model/pt.yaml" "$RUN/model/config" 2>/dev/null
   git commit -q -m "r05 gated-run snapshot ($(date +%H:%M:%S))" 2>/dev/null
