@@ -222,6 +222,64 @@ def bench_render_fwd(point):
     _emit("gs_render_eval_fwd_ms", dt_e * 1e3, "ms")
 
 
+def bench_table_dma(point):
+    """Chip A/B of the tile-table build: XLA slice gather vs the
+    scalar-prefetch DMA kernel (ops/pallas/table_build.py). Emits both
+    timings; on a Mosaic rejection the section error line is the verdict."""
+    import jax
+    import jax.numpy as jnp
+
+    from gssdf_tpu.ops.pallas.table_build import table_rows_dma
+
+    model, settings, pose, K, target, n = point
+    cap = settings.tile_cap
+    tiles = -(-settings.width // settings.tile_size) * (
+        -(-settings.height // settings.tile_size)
+    )
+    rows = (n // 8) * settings.tile_expand + (n - n // 8) * (
+        settings.tile_expand_small or settings.tile_expand
+    )
+    kk = jax.random.randint(
+        jax.random.PRNGKey(5), (rows,), 0, np.int32(2 ** 30), jnp.int32
+    )
+    pp = jax.random.randint(jax.random.PRNGKey(6), (rows,), 0, n, jnp.int32)
+    sk0, sp0 = jax.lax.sort((kk, pp), num_keys=1, is_stable=False)
+    rank_bits = min(
+        max(n - 1, 1).bit_length(), 30 - (tiles + 1).bit_length()
+    )
+    starts = jnp.searchsorted(
+        sk0, jnp.arange(tiles + 1) << rank_bits, side="left"
+    ).astype(jnp.int32)[:-1]
+    pay_pad0 = jnp.concatenate([sp0, jnp.full((cap,), n, jnp.int32)])
+
+    # parity before timing — a wrong fast kernel is worthless
+    a = np.asarray(
+        jax.vmap(lambda s: jax.lax.dynamic_slice(pay_pad0, (s,), (cap,)))(
+            starts
+        )
+    )
+    b = np.asarray(table_rows_dma(pay_pad0, starts, cap))
+    if not np.array_equal(a, b):
+        raise AssertionError("table_rows_dma parity mismatch")
+
+    @jax.jit
+    def f_xla(c):
+        pay = jnp.concatenate([sp0 + c, jnp.full((cap,), n, jnp.int32)])
+        return jax.vmap(
+            lambda s: jax.lax.dynamic_slice(pay, (s,), (cap,))
+        )(starts)[0, 0] & 1
+
+    @jax.jit
+    def f_dma(c):
+        pay = jnp.concatenate([sp0 + c, jnp.full((cap,), n, jnp.int32)])
+        return table_rows_dma(pay, starts, cap)[0, 0] & 1
+
+    dt_x = _chain_timeit(f_xla, jnp.int32(0), 20)
+    dt_d = _chain_timeit(f_dma, jnp.int32(0), 20)
+    _emit("table_build_xla_ms", dt_x * 1e3, "ms")
+    _emit("table_build_dma_ms", dt_d * 1e3, "ms")
+
+
 def bench_sdf():
     """SDF train step at the Replica operating point (batch_pt_num=32768)."""
     import jax
@@ -335,6 +393,7 @@ def main():
          lambda: bench_render_fwd_bwd_batched(point))
     )
     sections.append(("render_fwd", lambda: bench_render_fwd(point)))
+    sections.append(("table_dma", lambda: bench_table_dma(point)))
     sections.append(("sdf", bench_sdf))
     for name, fn in sections:
         try:
