@@ -183,6 +183,9 @@ class Config:
     # addendum 2 — densification outgrowing the tile-cap budget is the
     # measured primary collapse mechanism at reference density)
     grow_drop_frac_max: float = 0.0
+    # also gate the scale2d screen-size split (round-5 evidence: split
+    # churn under a closed gate held drop_frac ~0.6; RESULTS_r05)
+    gate_scale2d: bool = False
     refine_start_iter: int = 500
     refine_every: int = 100
     reset_alpha_every: int = 30

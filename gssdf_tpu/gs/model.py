@@ -380,6 +380,13 @@ class RefineSpec:
     # its gate is trivially always open; prunes and the scale2d
     # window-honesty split stay active either way.
     grow_drop_frac_max: float = 0.0
+    # ALSO gate the scale2d screen-size split on grow_ok. Round-5 chip
+    # evidence (RESULTS_r05): with only grad-grow gated, the scale2d
+    # split fired 41-43k times per refine while the gate was closed,
+    # holding drop_frac at ~0.6 despite a flat alive count — split churn
+    # itself overloads the fixed tile lists. Off by default (the split
+    # doubles as the window-honesty guard, DIAGNOSIS_r04).
+    gate_scale2d: bool = False
 
 
 def refine_splats(
@@ -423,10 +430,12 @@ def refine_splats(
         # image never feel their full-footprint error and can degenerate
         # into needles — splitting them keeps every splat inside the
         # window budget (see RESULTS_r04 diagnosis).
+        s2d_ok = grow_ok if spec.gate_scale2d else True
         is_split = is_split | (
             alive
             & (state.radii > spec.grow_scale2d)
             & (iter_num < spec.refine_scale2d_stop_iter)
+            & s2d_ok
         )
 
     zero_moment_rows = jnp.zeros((c,), bool)

@@ -422,6 +422,7 @@ class Pipeline:
                 spatial_scale=self.spatial_scale,
                 original_spatial_scale=0.5 * cfg.inner_map_size,
                 grow_drop_frac_max=cfg.grow_drop_frac_max,
+                gate_scale2d=cfg.gate_scale2d,
             ),
             rgb_weight=cfg.rgb_weight,
             dssim_weight=cfg.dssim_weight,

@@ -193,6 +193,11 @@ def main():
                     "--fix-window alone isolates whether reset recovery "
                     "under cap truncation drives the collapse "
                     "(DIAGNOSIS_r04 addendum)")
+    ap.add_argument("--gate-splits", action="store_true",
+                    help="count the scale2d screen-size split against the "
+                    "renderer-aware grow gate too (round-5 evidence: "
+                    "41-43k ungated splits/refine held drop_frac ~0.6 "
+                    "under a closed gate)")
     ap.add_argument("--cap-max", type=int, default=0,
                     help="enable the tile-cap capacity rung (DIAGNOSIS_r04 "
                     "repair item 2): tile lists double up to this bound "
@@ -254,6 +259,10 @@ grow_drop_frac_max: 0.3
     if args.cap_max:
         scale += f"""
 tile_cap_max: {args.cap_max}
+"""
+    if args.gate_splits:
+        scale += """
+gate_scale2d: 1
 """
     if args.no_reset:
         scale += """

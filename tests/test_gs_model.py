@@ -259,3 +259,27 @@ def test_sky_sphere():
     assert np.isfinite(np.asarray(sky["quats"])).all()
     # opacity starts ~1
     assert float(jax.nn.sigmoid(sky["opacity_logit"]).min()) > 0.99
+
+
+def test_gate_scale2d_counts_splits_against_gate():
+    """gate_scale2d (round-5 evidence, RESULTS_r05): with it set, a
+    closed gate suppresses the scale2d screen-size split too; default
+    keeps the split alive (window honesty)."""
+    c = 12
+    base = dict(
+        grow_grad2d=0.1, grow_scale3d=0.05, spatial_scale=1.0,
+        prune_scale3d=100.0, refine_scale2d_stop_iter=1000,
+    )
+    m = _toy_model(n=4, capacity=c)
+    state = densify_state_init(c)._replace(
+        radii=jnp.zeros(c).at[2].set(0.3), count=jnp.ones(c)
+    )
+    mu = _zero_moments(m.params)
+    nu = _zero_moments(m.params)
+    for gate_s2d, want in ((True, 0), (False, 1)):
+        spec = RefineSpec(**base, gate_scale2d=gate_s2d)
+        *_, info = refine_splats(
+            m, state, mu, nu, jax.random.PRNGKey(3), spec,
+            jnp.int32(100), 3000, True, grow_ok=jnp.bool_(False),
+        )
+        assert int(info["n_split"]) == want, (gate_s2d, info)
